@@ -1,0 +1,156 @@
+"""Frozen configuration for the whole engine.
+
+Replaces the reference's ``config.py`` constants module (SURVEY.md §2.1:
+ORB feature count, pyramid levels/scale, FAST thresholds, Hamming match
+thresholds, keyframe policy, TUM depth factor, camera intrinsics).
+
+Every *capacity* constant lives here because XLA shapes depend on them
+(SURVEY.md §5.6, §7.0): number of features per frame, max keyframes, max map
+points, local-BA window sizes.  The dataclass is frozen + hashable so it can be
+a static argument to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole RGBD camera model (TUM fr1 defaults)."""
+
+    fx: float = 517.3
+    fy: float = 516.5
+    cx: float = 318.6
+    cy: float = 255.3
+    width: int = 640
+    height: int = 480
+    # TUM depth PNGs store depth * depth_factor as uint16 (SURVEY.md §2.1).
+    depth_factor: float = 5000.0
+    # Valid depth range in metres.
+    depth_min: float = 0.1
+    depth_max: float = 8.0
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB-style feature frontend (reference: cv2.ORB_create, SURVEY.md §2.2)."""
+
+    n_features: int = 512          # fixed keypoint capacity per frame (masked)
+    n_levels: int = 8              # pyramid levels
+    scale_factor: float = 1.2      # pyramid scale
+    fast_threshold: int = 20       # FAST-9 intensity threshold
+    fast_threshold_min: int = 7    # fallback threshold for weak cells
+    patch_size: int = 31           # orientation / descriptor patch
+    border: int = 19               # keypoint exclusion border (patch half + margin)
+    grid_rows: int = 8             # top-k bucketing grid for spatial spread
+    grid_cols: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor matching (reference: cv2.BFMatcher(NORM_HAMMING), SURVEY.md §2.1)."""
+
+    hamming_low: int = 50          # strict threshold (tracking)
+    hamming_high: int = 100        # loose threshold (wide searches)
+    ratio: float = 0.9             # Lowe ratio (best/second-best)
+    search_radius: float = 15.0    # projection-window radius, pixels, octave-scaled
+    search_radius_wide: float = 45.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Frame-to-map tracking (reference tracking.py, SURVEY.md §2.1/§3.2)."""
+
+    min_inliers: int = 12          # below this -> LOST
+    ba_rounds: int = 4             # motion-only BA outer rounds with chi2 gating
+    ba_iters: int = 8              # GN iterations per round
+    chi2_2d: float = 5.991         # 95% chi-square, 2 dof (reprojection)
+    chi2_3d: float = 7.815         # 95% chi-square, 3 dof (depth-augmented)
+    huber_delta: float = 2.4477    # sqrt(5.991)
+    depth_weight: float = 1.0      # weight of the depth residual row
+    # Keyframe policy (reference need_new_keyframe()).
+    kf_min_interval: int = 3       # min frames between KFs
+    kf_max_interval: int = 30      # force a KF after this many frames
+    kf_tracked_ratio: float = 0.6  # insert KF if tracked/ref-visible drops below
+    kf_min_tracked: int = 40
+    # RANSAC PnP (init / relocalization).
+    ransac_iters: int = 128        # hypotheses evaluated in parallel (vmap)
+    ransac_threshold: float = 5.0  # pixel reprojection inlier bound
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Fixed-capacity map state (SURVEY.md §7.0: static shapes + masks)."""
+
+    max_keyframes: int = 256
+    max_points: int = 16384
+    covis_min_weight: int = 15     # covisibility edge kept above this weight
+    covis_essential_weight: int = 100  # essential-graph high-weight edges
+    # Point culling (reference local_mapping.py).
+    cull_min_found_ratio: float = 0.25
+    cull_min_obs: int = 3
+    # Keyframe culling: redundant if this fraction of its points is seen >= 3x.
+    kf_cull_redundancy: float = 0.9
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalBaConfig:
+    """Local bundle adjustment window (reference local_ba, SURVEY.md §3.3/§3.5)."""
+
+    n_opt_kf: int = 8              # optimized camera poses (covisible window)
+    n_fixed_kf: int = 8            # fixed second-ring poses
+    max_local_points: int = 4096   # compacted active landmark capacity
+    lm_iters: int = 10
+    lm_lambda0: float = 1e-4
+    huber_delta: float = 2.4477
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Place recognition + loop closing (reference loop_closing.py / DBoW3)."""
+
+    vocab_size: int = 1024         # flat binary vocabulary words
+    min_score_matches: int = 30    # descriptor-level candidate score threshold
+    consistency: int = 3           # consecutive-KF temporal consistency
+    min_gap_kf: int = 20           # candidate must be this many KFs old
+    se3_inliers: int = 20          # 3D-3D geometric verification bound
+    se3_threshold: float = 0.10    # metres, 3D alignment inlier radius
+    pg_iters: int = 12             # pose-graph GN iterations
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Top-level engine configuration. Frozen + hashable => jit-static."""
+
+    camera: CameraConfig = CameraConfig()
+    orb: OrbConfig = OrbConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    tracker: TrackerConfig = TrackerConfig()
+    map: MapConfig = MapConfig()
+    local_ba: LocalBaConfig = LocalBaConfig()
+    loop: LoopConfig = LoopConfig()
+
+    def replace(self, **kw: Any) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def from_dict(d: Mapping[str, Any]) -> "SlamConfig":
+        """Build from a nested dict (YAML/CLI loading path)."""
+        kw = {}
+        sub = {
+            "camera": CameraConfig, "orb": OrbConfig, "matcher": MatcherConfig,
+            "tracker": TrackerConfig, "map": MapConfig,
+            "local_ba": LocalBaConfig, "loop": LoopConfig,
+        }
+        for key, cls in sub.items():
+            if key in d:
+                kw[key] = cls(**dict(d[key]))
+        return SlamConfig(**kw)
+
+
+# TUM camera presets (intrinsics from the TUM RGBD benchmark docs).
+TUM_FR1 = CameraConfig(fx=517.3, fy=516.5, cx=318.6, cy=255.3)
+TUM_FR2 = CameraConfig(fx=520.9, fy=521.0, cx=325.1, cy=249.7)
+TUM_FR3 = CameraConfig(fx=535.4, fy=539.2, cx=320.1, cy=247.6)

@@ -1,0 +1,96 @@
+"""IO tests: TUM association/trajectory round-trip + synthetic renderer sanity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from boslam_tpu.config import CameraConfig
+from boslam_tpu.geometry import camera, se3
+from boslam_tpu.io import synthetic, tum
+
+
+def test_associate_nearest():
+    ts_a = np.array([0.0, 0.1, 0.2, 0.35])
+    ts_b = np.array([0.005, 0.11, 0.3, 0.351])
+    pairs = tum.associate(ts_a, ts_b, max_dt=0.02)
+    assert (0, 0) in pairs and (1, 1) in pairs and (3, 3) in pairs
+    assert all(j != 2 for _, j in pairs)  # 0.3 has no partner within 0.02
+
+
+def test_trajectory_roundtrip(tmp_path, rng):
+    ts = np.arange(10) * 0.1
+    poses = []
+    for _ in range(10):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        poses.append(np.concatenate([q * np.sign(q[0]), rng.normal(size=3)]))
+    poses = np.array(poses)
+    path = str(tmp_path / "traj.txt")
+    tum.save_trajectory(path, ts, poses)
+    ts2, poses2 = tum.load_trajectory(path)
+    np.testing.assert_allclose(ts2, ts, atol=1e-6)
+    np.testing.assert_allclose(poses2, poses, atol=1e-5)
+
+
+def test_associate_groundtruth():
+    gt_ts = np.arange(100) * 0.05
+    gt_poses = np.tile(np.array([1.0, 0, 0, 0, 0, 0, 0]), (100, 1))
+    gt_poses[:, 4] = np.arange(100)
+    est_ts = np.array([0.05, 0.069, 3.0, 99.0])
+    poses, mask = tum.associate_groundtruth(est_ts, gt_ts, gt_poses)
+    assert mask[0] and mask[1] and mask[2] and not mask[3]
+    assert poses[0, 4] == 1.0
+    assert poses[1, 4] == 1.0  # 0.069 -> nearest 0.05
+
+
+CAM = CameraConfig(width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0)
+
+
+def test_render_depth_consistency():
+    """Rendered depth must backproject to points lying on the room planes."""
+    pose = np.array([1.0, 0, 0, 0, 0.2, -0.1, 0.3])
+    rgb, depth = synthetic.render_frame(CAM, pose)
+    assert rgb.shape == (120, 160, 3) and depth.shape == (120, 160)
+    assert float(depth.min()) > 0.1  # camera inside the room, all rays hit
+    u, v = np.meshgrid(np.arange(160, dtype=np.float32), np.arange(120, dtype=np.float32))
+    uv = np.stack([u, v], axis=-1).reshape(-1, 2)
+    xc = camera.backproject(CAM, jnp.asarray(uv), jnp.asarray(depth.reshape(-1)))
+    xw = se3.pose_apply(jnp.asarray(pose)[None], xc)
+    xw = np.asarray(xw)
+    # Each point must be within tolerance of at least one room plane.
+    dists = np.stack(
+        [np.abs(xw[:, axis] - off) for axis, off, _ in synthetic._PLANES], axis=-1
+    )
+    assert np.percentile(dists.min(-1), 99) < 1e-2
+
+
+def test_render_multiview_consistency():
+    """A world point visible from two poses must have consistent texture."""
+    p0 = np.array([1.0, 0, 0, 0, 0.0, 0.0, 0.0])
+    p1 = np.array([1.0, 0, 0, 0, 0.1, 0.0, 0.0])
+    rgb0, d0 = synthetic.render_frame(CAM, p0)
+    rgb1, d1 = synthetic.render_frame(CAM, p1)
+    # backproject a grid of frame-0 pixels, project into frame 1, compare gray
+    ys, xs = np.mgrid[20:100:10, 20:140:10]
+    uv0 = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)
+    z0 = d0[ys, xs].reshape(-1)
+    xc0 = np.asarray(camera.backproject(CAM, jnp.asarray(uv0), jnp.asarray(z0)))
+    xw = xc0 + 0.0  # pose0 = identity
+    xc1 = xw - np.array([0.1, 0, 0])
+    uv1 = np.asarray(camera.project(CAM, jnp.asarray(xc1)))
+    ok = (
+        (uv1[:, 0] > 1) & (uv1[:, 0] < 158) & (uv1[:, 1] > 1) & (uv1[:, 1] < 118)
+    )
+    ui, vi = np.round(uv1[ok, 0]).astype(int), np.round(uv1[ok, 1]).astype(int)
+    g0 = rgb0[ys, xs, 0].reshape(-1)[ok].astype(np.float32)
+    g1 = rgb1[vi, ui, 0].astype(np.float32)
+    # occlusion-free room: most samples agree closely (nearest-pixel quantization)
+    assert np.median(np.abs(g0 - g1)) < 16
+
+
+def test_trajectories():
+    t1 = synthetic.orbit_trajectory(30, loop=True)
+    assert t1.poses_twc.shape == (30, 7)
+    np.testing.assert_allclose(t1.poses_twc[0, 4:], t1.poses_twc[-1, 4:], atol=1e-6)
+    t2 = synthetic.random_walk_trajectory(50, seed=3)
+    q_norms = np.linalg.norm(t2.poses_twc[:, :4], axis=-1)
+    np.testing.assert_allclose(q_norms, 1.0, atol=1e-6)
