@@ -1,0 +1,92 @@
+"""RANSAC 3D-3D SE3 alignment, fully vmapped.
+
+Replaces ``cv2.solvePnPRansac`` for the RGBD case (SURVEY.md §2.2: "JAX
+RANSAC-PnP: vmap over K hypothesis minimal sets ... inlier counting, argmax").
+With per-keypoint depth both sides of a correspondence are 3D, so the minimal
+solver is closed-form Umeyama on 3 points (the reference's "PnP/ICP" path,
+BASELINE.json north_star) — no iterative minimal solver needed.  Used for
+map initialization fallback, relocalization, and loop-closure geometric
+verification (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from boslam_tpu.geometry import se3
+
+
+def umeyama_fixed_scale(src, dst, w):
+    """Weighted closed-form SE3: dst ≈ R src + t.  src/dst [N, 3], w [N]."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    wn = w / wsum
+    mu_s = jnp.sum(wn[:, None] * src, axis=0)
+    mu_d = jnp.sum(wn[:, None] * dst, axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = (dc * wn[:, None]).T @ sc
+    U, _, Vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    D = jnp.diag(jnp.stack([1.0, 1.0, d]))
+    R = U @ D @ Vt
+    t = mu_d - R @ mu_s
+    return se3.make_pose(se3.mat_to_quat(R), t)
+
+
+class RansacResult(NamedTuple):
+    pose: jnp.ndarray       # [7] best T with dst ≈ T(src)
+    inliers: jnp.ndarray    # [N] bool
+    n_inliers: jnp.ndarray  # scalar i32
+    ok: jnp.ndarray         # scalar bool (enough inliers found)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 6))
+def ransac_se3(
+    src,
+    dst,
+    mask,
+    key,
+    n_hypotheses: int = 128,
+    threshold: float = 0.1,
+    min_inliers: int = 12,
+) -> RansacResult:
+    """Robust SE3 from 3D-3D correspondences.
+
+    Args:
+      src, dst: [N, 3] corresponding points (masked).
+      mask: [N] bool valid correspondences.
+      key: PRNG key.
+      threshold: inlier 3D distance bound (metres).
+
+    All hypotheses are evaluated in parallel with vmap; the winner is refined
+    by one weighted Umeyama on its inliers.
+    """
+    n = src.shape[0]
+    maskf = mask.astype(jnp.float32)
+    # Sample minimal sets by weighted choice over valid correspondences.
+    p = maskf / jnp.maximum(jnp.sum(maskf), 1e-9)
+    idx = jax.random.choice(key, n, shape=(n_hypotheses, 3), p=p)
+
+    def hypothesis(tri):
+        w3 = jnp.ones(3)
+        pose = umeyama_fixed_scale(src[tri], dst[tri], w3)
+        err = jnp.linalg.norm(se3.pose_apply(pose[None], src) - dst, axis=-1)
+        inl = (err < threshold) & mask
+        return jnp.sum(inl), pose
+
+    scores, poses = jax.vmap(hypothesis)(idx)
+    best = jnp.argmax(scores)
+    pose = poses[best]
+    # Refine on the winning consensus set (two Umeyama re-fits).
+    for _ in range(2):
+        err = jnp.linalg.norm(se3.pose_apply(pose[None], src) - dst, axis=-1)
+        w = ((err < threshold) & mask).astype(jnp.float32)
+        pose = umeyama_fixed_scale(src, dst, w + 1e-9)
+    err = jnp.linalg.norm(se3.pose_apply(pose[None], src) - dst, axis=-1)
+    inliers = (err < threshold) & mask
+    n_inl = jnp.sum(inliers).astype(jnp.int32)
+    return RansacResult(pose, inliers, n_inl, n_inl >= min_inliers)
