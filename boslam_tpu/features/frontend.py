@@ -122,6 +122,24 @@ def _border_mask(h: int, w: int, b: int) -> np.ndarray:
     return m
 
 
+def _subpixel_offsets(score, ys, xs):
+    """Per-keypoint sub-pixel offsets from a 1D parabola fit per axis on the
+    raw (pre-NMS) FAST score map; clamped to [-0.5, 0.5]."""
+
+    def one(y, x):
+        p = jax.lax.dynamic_slice(score, (y - 1, x - 1), (3, 3))
+        c = p[1, 1]
+
+        def fit(lo, hi):
+            denom = 2.0 * c - lo - hi
+            off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (hi - lo) / denom, 0.0)
+            return jnp.clip(off, -0.5, 0.5)
+
+        return fit(p[1, 0], p[1, 2]), fit(p[0, 1], p[2, 1])
+
+    return jax.vmap(one)(ys, xs)
+
+
 def _orientation_and_desc(level_img, ys, xs, pattern):
     """Per-keypoint orientation (intensity centroid) + rotated BRIEF bits.
 
@@ -180,16 +198,29 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
         if l > 0:
             level = jax.image.resize(level, (hl, wl), "linear")
         blurred = _blur(level, kernel)
-        score = _fast_score(level, float(orb.fast_threshold))
-        score = _nms3(score) * jnp.asarray(_border_mask(hl, wl, _LEVEL_BORDER))
+        raw_score = _fast_score(level, float(orb.fast_threshold))
+        score = _nms3(raw_score) * jnp.asarray(_border_mask(hl, wl, _LEVEL_BORDER))
         k = budgets[l]
         top, idx = jax.lax.top_k(score.reshape(-1), k)
         ys = idx // wl
         xs = idx % wl
         valid = top > 0
         angle, desc = _orientation_and_desc(blurred, ys, xs, pattern)
-        s = float(orb.scale_factor**l)
-        uv = jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], -1)
+        # Sub-pixel refinement: 1D quadratic fit on the raw FAST score along
+        # each axis (integer detection adds +-0.5 px noise that dominates
+        # pose accuracy on clean data).
+        dxs, dys = _subpixel_offsets(raw_score, ys, xs)
+        xf = xs.astype(jnp.float32) + dxs
+        yf = ys.astype(jnp.float32) + dys
+        # Level-l -> level-0 coords under jax.image.resize's pixel-center
+        # alignment: x0 = (x_l + 0.5) * (W0 / W_l) - 0.5 (the actual per-level
+        # scale, not the nominal 1.2^l — the nominal form introduces a
+        # systematic +0.5*(s-1) px bias that tilts pose optimization).
+        sx, sy = w / wl, h / hl
+        uv = jnp.stack(
+            [(xf + 0.5) * sx - 0.5, (yf + 0.5) * sy - 0.5],
+            -1,
+        )
         uv_all.append(uv)
         ang_all.append(angle)
         desc_all.append(desc)

@@ -1,0 +1,259 @@
+"""Pure map-update operations: keyframe insertion, point creation, culling,
+observation fusion, statistics.
+
+Covers the reference's keyframe machinery (SURVEY.md §2.1 "Map /
+CovisibilityGraph" + §3.3 LocalMapManager steps: insert, cull recent points,
+create RGBD points from keypoint depth, fuse duplicates, cull redundant
+keyframes) as masked free-list updates on the MapState pytree — no object
+graphs, no locks, recompilation-free static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from boslam_tpu.config import SlamConfig
+from boslam_tpu.geometry import camera as cam_mod
+from boslam_tpu.geometry import se3
+from boslam_tpu.mapping.map_state import MapState, incidence, point_obs_count, recompute_covis
+from boslam_tpu.matching import hamming
+
+
+def _spanning_parent(state: MapState, slot) -> jnp.ndarray:
+    """Parent = most covisible existing keyframe (ORB-SLAM spanning tree)."""
+    row = state.covis[slot] * state.kf_valid
+    older = jnp.arange(row.shape[0]) < slot
+    row = jnp.where(older, row, -1)
+    parent = jnp.argmax(row)
+    return jnp.where((slot > 0) & (row[parent] > 0), parent, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def insert_keyframe(
+    cfg: SlamConfig, state: MapState, feats, pose_cw, match_pt, match_ok, frame_idx
+) -> MapState:
+    """Insert the current frame as a keyframe.
+
+    Args:
+      feats: FrameFeatures.
+      pose_cw: [7] tracked pose.
+      match_pt: [N] i32 map-point id matched per keypoint (-1 = none).
+      match_ok: [N] bool tracking-inlier mask for those matches.
+
+    New map points are created directly from keypoint depth (RGBD privilege:
+    no triangulation, reference §3.2 init_from_rgbd / §3.3 create new
+    MapPoints), allocated from the free list; when the pool is full the
+    creation is dropped (overflow policy, SURVEY.md §7.2).
+    """
+    N = feats.uv.shape[0]
+    P = cfg.map.max_points
+    slot = state.n_kf
+
+    obs = jnp.where(match_ok & feats.valid & (match_pt >= 0), match_pt, -1)
+
+    # ---- allocate new points for unmatched depth-backed keypoints -------
+    create = feats.valid & feats.has_depth & (obs < 0)
+    free_idx, = jnp.nonzero(~state.pt_valid, size=N, fill_value=P)
+    rank = jnp.cumsum(create) - 1
+    new_id = free_idx[jnp.clip(rank, 0, N - 1)]
+    ok_create = create & (new_id < P)
+    new_id = jnp.where(ok_create, new_id, P)  # P = drop sentinel
+
+    xyz_w = se3.pose_apply(se3.pose_inv(pose_cw)[None], feats.xyz)
+    st = state._replace(
+        pt_xyz=state.pt_xyz.at[new_id].set(xyz_w, mode="drop"),
+        pt_desc=state.pt_desc.at[new_id].set(feats.desc, mode="drop"),
+        pt_valid=state.pt_valid.at[new_id].set(True, mode="drop"),
+        pt_ref_kf=state.pt_ref_kf.at[new_id].set(slot, mode="drop"),
+        pt_first_kf=state.pt_first_kf.at[new_id].set(slot, mode="drop"),
+        pt_n_vis=state.pt_n_vis.at[new_id].set(1, mode="drop"),
+        pt_n_found=state.pt_n_found.at[new_id].set(1, mode="drop"),
+    )
+
+    obs = jnp.where(ok_create, new_id, obs).astype(jnp.int32)
+
+    # ---- write the keyframe row ----------------------------------------
+    st = st._replace(
+        kf_pose=st.kf_pose.at[slot].set(pose_cw),
+        kf_valid=st.kf_valid.at[slot].set(True),
+        kf_uv=st.kf_uv.at[slot].set(feats.uv),
+        kf_depth=st.kf_depth.at[slot].set(feats.depth),
+        kf_desc=st.kf_desc.at[slot].set(feats.desc),
+        kf_octave=st.kf_octave.at[slot].set(feats.octave),
+        kf_kp_valid=st.kf_kp_valid.at[slot].set(feats.valid),
+        kf_obs_pt=st.kf_obs_pt.at[slot].set(obs),
+        kf_frame_idx=st.kf_frame_idx.at[slot].set(frame_idx),
+        n_kf=st.n_kf + 1,
+    )
+    st = recompute_covis(st)
+    st = st._replace(
+        spanning_parent=st.spanning_parent.at[slot].set(_spanning_parent(st, slot))
+    )
+    return st
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def update_track_stats(cfg: SlamConfig, state: MapState, visible, match_pt, match_ok):
+    """After tracking a frame: bump per-point visible/found counters
+    (reference MapPoint found-ratio bookkeeping, §3.2)."""
+    P = cfg.map.max_points
+    n_vis = state.pt_n_vis + visible.astype(jnp.int32)
+    tgt = jnp.where(match_ok & (match_pt >= 0), match_pt, P)
+    n_found = state.pt_n_found.at[tgt].add(1, mode="drop")
+    return state._replace(pt_n_vis=n_vis, pt_n_found=n_found)
+
+
+def _drop_dead_obs(state: MapState) -> MapState:
+    """Clear observation entries that point at dead points."""
+    obs = state.kf_obs_pt
+    alive = jnp.where(
+        obs >= 0,
+        state.pt_valid[jnp.clip(obs, 0, state.pt_valid.shape[0] - 1)],
+        False,
+    )
+    return state._replace(kf_obs_pt=jnp.where(alive, obs, -1))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def cull_points(cfg: SlamConfig, state: MapState) -> MapState:
+    """Remove unreliable recent points (reference local_mapping culling:
+    found-ratio < 0.25, or seen by < 3 keyframes once mature)."""
+    m = cfg.map
+    n_obs = point_obs_count(state)
+    age = state.n_kf - state.pt_first_kf  # in keyframes
+    found_ratio = state.pt_n_found / jnp.maximum(state.pt_n_vis, 1)
+    bad_ratio = (found_ratio < m.cull_min_found_ratio) & (state.pt_n_vis >= 4)
+    bad_obs = (n_obs < m.cull_min_obs) & (age >= 3)
+    keep = state.pt_valid & ~bad_ratio & ~bad_obs
+    st = state._replace(pt_valid=keep)
+    st = _drop_dead_obs(st)
+    return recompute_covis(st)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def cull_one_keyframe(cfg: SlamConfig, state: MapState) -> MapState:
+    """Cull the single most redundant keyframe, if any qualifies
+    (reference: >= 90% of its points seen in >= 3 other keyframes).
+
+    Root (0) and the latest keyframe are protected.  One-at-a-time matches
+    the reference's incremental schedule and avoids cascade removals.
+    """
+    K, N = state.kf_obs_pt.shape
+    n_obs = point_obs_count(state)  # [P]
+    obs = state.kf_obs_pt
+    has = obs >= 0
+    obs_cnt = jnp.where(
+        has, n_obs[jnp.clip(obs, 0, n_obs.shape[0] - 1)], 0
+    )  # [K, N]
+    redundant = jnp.sum((obs_cnt >= 4) & has, axis=1)
+    total = jnp.maximum(jnp.sum(has, axis=1), 1)
+    frac = redundant / total
+    eligible = (
+        state.kf_valid
+        & (jnp.arange(K) > 0)
+        & (jnp.arange(K) != state.n_kf - 1)
+        & (frac >= cfg.map.kf_cull_redundancy)
+        & (jnp.sum(has, axis=1) > 0)
+    )
+    victim = jnp.argmax(jnp.where(eligible, frac, -1.0))
+    do = eligible[victim]
+    st = state._replace(
+        kf_valid=state.kf_valid.at[victim].set(
+            jnp.where(do, False, state.kf_valid[victim])
+        ),
+        kf_obs_pt=jnp.where(
+            do & (jnp.arange(K) == victim)[:, None], -1, state.kf_obs_pt
+        ),
+    )
+    return recompute_covis(st)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fuse_new_keyframe(cfg: SlamConfig, state: MapState, n_neighbors: int = 4) -> MapState:
+    """Fuse the newest keyframe's points into its covisible neighbors.
+
+    Reference local_mapping "fuse duplicates into covisible neighbor KFs"
+    (§3.3): for each top-covisibility neighbor, project the new keyframe's
+    points, Hamming-match them against the neighbor's keypoints in a window;
+    an unassociated matched keypoint gains an observation of the point, and a
+    keypoint already bound to a different point triggers a merge that keeps
+    the better-observed point (global id remap).
+    """
+    K, N = state.kf_obs_pt.shape
+    P = cfg.map.max_points
+    slot = state.n_kf - 1
+    nbr_ids, nbr_w, nbr_ok = _top_neighbors(cfg, state, slot, n_neighbors)
+
+    new_pts = state.kf_obs_pt[slot]  # [N] point ids of the new KF
+    pts_ok = new_pts >= 0
+    pid = jnp.clip(new_pts, 0, P - 1)
+    xyz = state.pt_xyz[pid]
+    desc = state.pt_desc[pid]
+    n_obs = point_obs_count(state)
+
+    def fuse_into(carry, nb):
+        obs_tab, remap = carry
+        nbr, ok_nb = nb
+        pose = state.kf_pose[nbr]
+        xc = se3.pose_apply(pose[None], xyz)
+        uv = cam_mod.project(cfg.camera, xc)
+        vis = (
+            pts_ok
+            & ok_nb
+            & (xc[..., 2] > cfg.camera.depth_min)
+            & cam_mod.in_image(cfg.camera, uv, 1.0)
+        )
+        # keypoints of the neighbor
+        kuv = state.kf_uv[nbr]
+        kval = state.kf_kp_valid[nbr]
+        d2 = jnp.sum((kuv[:, None, :] - uv[None, :, :]) ** 2, -1)
+        r = cfg.matcher.search_radius * (
+            cfg.orb.scale_factor ** state.kf_octave[nbr].astype(jnp.float32)
+        )
+        window = (d2 <= r[:, None] ** 2) & vis[None, :]
+        dist = hamming.hamming_matrix_mxu(state.kf_desc[nbr], desc)
+        idx, mok, _ = hamming.match_top2(
+            dist, kval, vis, max_dist=cfg.matcher.hamming_low,
+            ratio=1.0, mutual=True, extra_mask=window,
+        )
+        # idx[s] = new-KF keypoint index whose point matches neighbor slot s
+        cand_pt = jnp.where(mok, new_pts[jnp.clip(idx, 0, N - 1)], -1)
+        existing = obs_tab[nbr]
+        # Case 1: neighbor slot unassociated -> add observation.
+        add = mok & (existing < 0) & (cand_pt >= 0)
+        new_row = jnp.where(add, cand_pt, existing)
+        obs_tab = obs_tab.at[nbr].set(jnp.where(ok_nb, new_row, existing))
+        # Case 2: duplicate -> redirect the lesser-observed point.
+        dup = mok & (existing >= 0) & (cand_pt >= 0) & (existing != cand_pt)
+        keep_exist = n_obs[jnp.clip(existing, 0, P - 1)] >= n_obs[jnp.clip(cand_pt, 0, P - 1)]
+        src = jnp.where(keep_exist, cand_pt, existing)
+        dst = jnp.where(keep_exist, existing, cand_pt)
+        src = jnp.where(dup & ok_nb, src, P)
+        remap = remap.at[jnp.clip(src, 0, P)].set(
+            jnp.where(src < P, dst, remap[jnp.clip(src, 0, P)]), mode="drop"
+        )
+        return (obs_tab, remap), None
+
+    remap0 = jnp.concatenate([jnp.arange(P, dtype=jnp.int32), jnp.array([-1], jnp.int32)])
+    (obs_tab, remap), _ = jax.lax.scan(
+        fuse_into, (state.kf_obs_pt, remap0), (nbr_ids, nbr_ok)
+    )
+    # Resolve two-step merge chains (A->B, B->C), then apply globally.
+    remap = remap.at[:P].set(remap[jnp.clip(remap[:P], 0, P)])
+    merged_away = remap[:P] != jnp.arange(P)
+    obs_tab = jnp.where(obs_tab >= 0, remap[jnp.clip(obs_tab, 0, P)], -1)
+    st = state._replace(
+        kf_obs_pt=obs_tab,
+        pt_valid=state.pt_valid & ~merged_away,
+    )
+    return recompute_covis(st)
+
+
+def _top_neighbors(cfg: SlamConfig, state: MapState, kf_id, k: int):
+    row = state.covis[kf_id] * state.kf_valid
+    row = row.at[kf_id].set(0)
+    w, ids = jax.lax.top_k(row, k)
+    return ids, w, w >= cfg.map.covis_min_weight

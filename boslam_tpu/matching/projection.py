@@ -59,7 +59,7 @@ def search_by_projection(
 
     Returns:
       (match_idx [N] int32 point index or -1, match_mask [N] bool,
-       n_visible scalar, match_dist [N] i32)
+       visible [P] bool, match_dist [N] i32)
     """
     mcfg = cfg.matcher
     uv_proj, z, vis = project_points(cfg, pose_cw, pt_xyz, pt_valid)
@@ -78,4 +78,4 @@ def search_by_projection(
         mutual=mutual,
         extra_mask=window,
     )
-    return idx, ok, jnp.sum(vis), mdist
+    return idx, ok, vis, mdist

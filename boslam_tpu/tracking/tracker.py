@@ -1,0 +1,180 @@
+"""Frame-to-map tracking (reference tracking.py, SURVEY.md §2.1/§3.2).
+
+Per-frame pose estimation as ONE jitted megafunction: constant-velocity
+motion-model prediction, projection-window matching against the whole map
+(TPU-first: one masked MXU Hamming matmul instead of per-point candidate
+lists), robust GN motion-only BA, then a wider track-local-map second pass
+and re-optimization.  Data-dependent *decisions* (keyframe? lost?) are
+returned as scalars for the thin host loop; all data-dependent *compute*
+stays masked on device (SURVEY.md §7.0).
+
+Relocalization (the lost path, §3.2) matches globally (no window) and solves
+3D-3D RANSAC — the reference's BoW-candidate + PnP fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from boslam_tpu.config import SlamConfig
+from boslam_tpu.geometry import se3
+from boslam_tpu.matching import hamming, projection
+from boslam_tpu.solvers import optimize_pose, ransac_se3
+
+ST_UNINIT, ST_OK, ST_LOST = 0, 1, 2
+
+
+class TrackState(NamedTuple):
+    pose_cw: jnp.ndarray    # [7] current camera pose (world -> camera)
+    velocity: jnp.ndarray   # [7] T_cw(t) ∘ T_cw(t-1)^-1 (motion model)
+    status: jnp.ndarray     # scalar i32: 0 uninit / 1 ok / 2 lost
+    n_since_kf: jnp.ndarray # scalar i32 frames since last keyframe
+    last_kf: jnp.ndarray    # scalar i32 reference keyframe id
+    frame_idx: jnp.ndarray  # scalar i32
+
+
+class TrackOut(NamedTuple):
+    pose_cw: jnp.ndarray
+    match_pt: jnp.ndarray   # [N] i32 matched map-point id per keypoint (-1)
+    match_ok: jnp.ndarray   # [N] bool final inlier matches
+    visible: jnp.ndarray    # [P] bool map points predicted visible this frame
+    n_inliers: jnp.ndarray  # scalar i32
+    n_visible: jnp.ndarray  # scalar i32 map points predicted visible
+    n_matches: jnp.ndarray  # scalar i32 pre-BA matches
+    need_kf: jnp.ndarray    # scalar bool keyframe-decision hint
+    lost: jnp.ndarray       # scalar bool
+
+
+def init_track_state() -> TrackState:
+    return TrackState(
+        pose_cw=se3.pose_identity(),
+        velocity=se3.pose_identity(),
+        status=jnp.asarray(ST_UNINIT, jnp.int32),
+        n_since_kf=jnp.zeros((), jnp.int32),
+        last_kf=jnp.zeros((), jnp.int32),
+        frame_idx=jnp.zeros((), jnp.int32),
+    )
+
+
+def _match_and_optimize(cfg, feats, pose_pred, map_state, radius, max_dist, ratio):
+    idx, ok, vis, _ = projection.search_by_projection(
+        cfg, feats, pose_pred, map_state.pt_xyz, map_state.pt_desc,
+        map_state.pt_valid, radius=radius, max_dist=max_dist, ratio=ratio,
+    )
+    P = map_state.pt_xyz.shape[0]
+    pid = jnp.clip(idx, 0, P - 1)
+    pts_w = map_state.pt_xyz[pid]
+    res = optimize_pose(
+        cfg, pose_pred, pts_w, feats.uv, feats.depth,
+        feats.has_depth & ok, ok, feats.octave,
+    )
+    return idx, ok, res, vis
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def track_frame(cfg: SlamConfig, map_state, track: TrackState, feats):
+    """Track one frame against the map.  Returns (TrackState, TrackOut)."""
+    tk = cfg.tracker
+    mc = cfg.matcher
+    pose_pred = se3.pose_compose(track.velocity, track.pose_cw)
+
+    # Pass 1: tight window from motion model.
+    idx1, ok1, res1, vis1 = _match_and_optimize(
+        cfg, feats, pose_pred, map_state, mc.search_radius, mc.hamming_low, mc.ratio
+    )
+    # Fallback: if too few matches, widen (reference's lost-motion-model path).
+    few = jnp.sum(ok1) < 2 * tk.min_inliers
+    idx1b, ok1b, res1b, _ = _match_and_optimize(
+        cfg, feats, pose_pred, map_state, mc.search_radius_wide, mc.hamming_high, mc.ratio
+    )
+    idx1 = jnp.where(few, idx1b, idx1)
+    ok1 = jnp.where(few, ok1b, ok1)
+    pose1 = jnp.where(few, res1b.pose, res1.pose)
+
+    # Pass 2: track local map — refined pose, fresh window, re-optimize.
+    idx2, ok2, res2, vis2 = _match_and_optimize(
+        cfg, feats, pose1, map_state, mc.search_radius, mc.hamming_high, 1.0
+    )
+    pose = res2.pose
+    inl = res2.inliers
+    n_inl = res2.n_inliers
+    n_match = jnp.sum(ok2)
+
+    lost = n_inl < tk.min_inliers
+    # Keep the old pose when lost (motion model would drift).
+    pose = jnp.where(lost, track.pose_cw, pose)
+    velocity = jnp.where(
+        lost, se3.pose_identity(), se3.pose_compose(pose, se3.pose_inv(track.pose_cw))
+    )
+
+    # Keyframe policy (reference need_new_keyframe()).
+    ref_obs = jnp.sum(
+        (map_state.kf_obs_pt[track.last_kf] >= 0) & map_state.kf_kp_valid[track.last_kf]
+    )
+    tracked_ratio = n_inl / jnp.maximum(ref_obs, 1)
+    need_kf = (
+        ~lost
+        & (track.n_since_kf >= tk.kf_min_interval)
+        & (
+            (track.n_since_kf >= tk.kf_max_interval)
+            | (tracked_ratio < tk.kf_tracked_ratio)
+            | (n_inl < tk.kf_min_tracked)
+        )
+    )
+
+    new_track = TrackState(
+        pose_cw=pose,
+        velocity=velocity,
+        status=jnp.where(lost, ST_LOST, ST_OK).astype(jnp.int32),
+        n_since_kf=track.n_since_kf + 1,
+        last_kf=track.last_kf,
+        frame_idx=track.frame_idx + 1,
+    )
+    out = TrackOut(
+        pose_cw=pose,
+        match_pt=jnp.where(inl, idx2, -1),
+        match_ok=inl & (idx2 >= 0),
+        visible=vis2,
+        n_inliers=n_inl,
+        n_visible=jnp.sum(vis2),
+        n_matches=n_match,
+        need_kf=need_kf,
+        lost=lost,
+    )
+    return new_track, out
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def relocalize(cfg: SlamConfig, map_state, track: TrackState, feats, key):
+    """Global relocalization: match descriptors against the whole map with no
+    projection window, then 3D-3D RANSAC + robust GN (reference relocalize()
+    via BoW candidates + PnP, §3.2 lost path)."""
+    dist = hamming.hamming_matrix_mxu(feats.desc, map_state.pt_desc)
+    idx, ok, _ = hamming.match_top2(
+        dist, feats.valid & feats.has_depth, map_state.pt_valid,
+        max_dist=cfg.matcher.hamming_low, ratio=0.85, mutual=True,
+    )
+    P = map_state.pt_xyz.shape[0]
+    pid = jnp.clip(idx, 0, P - 1)
+    res = ransac_se3(
+        map_state.pt_xyz[pid], feats.xyz, ok, key,
+        n_hypotheses=cfg.tracker.ransac_iters,
+        threshold=cfg.loop.se3_threshold,
+        min_inliers=cfg.tracker.min_inliers,
+    )
+    refined = optimize_pose(
+        cfg, res.pose, map_state.pt_xyz[pid], feats.uv, feats.depth,
+        feats.has_depth & ok, ok, feats.octave,
+    )
+    good = res.ok & (refined.n_inliers >= cfg.tracker.min_inliers)
+    new_track = track._replace(
+        pose_cw=jnp.where(good, refined.pose, track.pose_cw),
+        velocity=se3.pose_identity(),
+        status=jnp.where(good, ST_OK, ST_LOST).astype(jnp.int32),
+        frame_idx=track.frame_idx + 1,
+    )
+    return new_track, good, refined.n_inliers

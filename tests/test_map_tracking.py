@@ -1,0 +1,124 @@
+"""Map-state ops + end-to-end synthetic tracking (SURVEY.md §4.2.4 analog:
+the minimum end-to-end slice — sequential RGBD tracking with depth-based
+landmarks and motion-only BA, ATE asserted)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from boslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+from boslam_tpu.features import extract_features
+from boslam_tpu.features.frontend import rgb_to_gray
+from boslam_tpu.geometry import align, se3
+from boslam_tpu.io import synthetic
+from boslam_tpu.mapping import empty_map, map_ops
+from boslam_tpu.mapping.map_state import point_obs_count, recompute_covis
+from boslam_tpu.tracking import init_track_state, track_frame
+
+CAM = CameraConfig(width=320, height=240, fx=130.0, fy=130.0, cx=160.0, cy=120.0)
+CFG = SlamConfig(camera=CAM, orb=OrbConfig(n_features=256, n_levels=4))
+
+
+def extract(rgb, depth):
+    return extract_features(jnp.asarray(rgb_to_gray(rgb)), jnp.asarray(depth), CFG)
+
+
+def no_match(n):
+    return jnp.full((n,), -1, jnp.int32), jnp.zeros((n,), bool)
+
+
+def test_insert_first_keyframe():
+    rgb, depth = synthetic.render_frame(CAM, np.array([1.0, 0, 0, 0, 0, 0, 0]))
+    f = extract(rgb, depth)
+    st = empty_map(CFG)
+    mp, ok = no_match(CFG.orb.n_features)
+    st = map_ops.insert_keyframe(CFG, st, f, se3.pose_identity(), mp, ok, 0)
+    assert int(st.n_kf) == 1
+    assert bool(st.kf_valid[0])
+    n_pts = int(jnp.sum(st.pt_valid))
+    assert n_pts > 50
+    # every created point observed by KF0
+    n_obs = point_obs_count(st)
+    assert int(jnp.sum(n_obs > 0)) == n_pts
+    # created points lie in front of the camera
+    alive = np.asarray(st.pt_valid)
+    assert np.asarray(st.pt_xyz)[alive, 2].min() > 0
+
+
+@pytest.fixture(scope="module")
+def tracked_sequence():
+    """Track a 25-frame synthetic orbit, inserting keyframes per policy."""
+    traj = synthetic.orbit_trajectory(25, radius=0.4, yaw_amplitude=0.15)
+    frames = synthetic.render_sequence(CAM, traj)
+    st = empty_map(CFG)
+    track = init_track_state()
+    f0 = extract(frames[0][1], frames[0][2])
+    mp, ok0 = no_match(CFG.orb.n_features)
+    st = map_ops.insert_keyframe(CFG, st, f0, se3.pose_identity(), mp, ok0, 0)
+    track = track._replace(status=jnp.asarray(1, jnp.int32))
+    est = [np.asarray(se3.pose_identity())]
+    kf_events = []
+    for i, (ts, rgb, depth) in enumerate(frames[1:], start=1):
+        f = extract(rgb, depth)
+        track, out = track_frame(CFG, st, track, f)
+        assert not bool(out.lost), f"lost at frame {i}"
+        est.append(np.asarray(se3.pose_inv(out.pose_cw)))
+        if bool(out.need_kf) and int(st.n_kf) < CFG.map.max_keyframes:
+            st = map_ops.insert_keyframe(
+                CFG, st, f, out.pose_cw, out.match_pt, out.match_ok, i
+            )
+            st = map_ops.fuse_new_keyframe(CFG, st)
+            st = map_ops.cull_points(CFG, st)
+            track = track._replace(
+                last_kf=st.n_kf - 1, n_since_kf=jnp.zeros((), jnp.int32)
+            )
+            kf_events.append(i)
+        st = map_ops.update_track_stats(
+            CFG, st, out.visible, out.match_pt, out.match_ok
+        )
+    return traj, np.array(est), st, kf_events
+
+
+def test_tracking_ate(tracked_sequence):
+    traj, est, st, kf_events = tracked_sequence
+    gt_t = traj.poses_twc[:, 4:]
+    rmse, _ = align.ate_rmse(jnp.asarray(est[:, 4:]), jnp.asarray(gt_t))
+    assert float(rmse) < 0.02, f"ATE {float(rmse):.4f} m"
+
+
+def test_keyframes_inserted(tracked_sequence):
+    _, _, st, kf_events = tracked_sequence
+    assert int(st.n_kf) >= 2, "no keyframes beyond KF0"
+    # covisibility between consecutive keyframes is strong
+    if int(st.n_kf) >= 2:
+        assert int(st.covis[0, 1]) > 10
+        assert int(st.spanning_parent[1]) == 0
+
+
+def test_cull_points_removes_unobserved():
+    rgb, depth = synthetic.render_frame(CAM, np.array([1.0, 0, 0, 0, 0, 0, 0]))
+    f = extract(rgb, depth)
+    st = empty_map(CFG)
+    mp, ok = no_match(CFG.orb.n_features)
+    st = map_ops.insert_keyframe(CFG, st, f, se3.pose_identity(), mp, ok, 0)
+    # Simulate: all points predicted visible many times but never found.
+    st = st._replace(
+        pt_n_vis=jnp.where(st.pt_valid, 10, 0), pt_n_found=jnp.zeros_like(st.pt_n_found)
+    )
+    st2 = map_ops.cull_points(CFG, st)
+    assert int(jnp.sum(st2.pt_valid)) == 0
+    assert int(jnp.sum(st2.kf_obs_pt >= 0)) == 0
+
+
+def test_update_track_stats_scatter():
+    st = empty_map(CFG)
+    n = CFG.orb.n_features
+    mp = jnp.full((n,), -1, jnp.int32).at[0].set(5).at[1].set(5).at[2].set(7)
+    ok = jnp.zeros(n, bool).at[0].set(True).at[1].set(True).at[2].set(True)
+    vis = jnp.zeros(CFG.map.max_points, bool).at[5].set(True).at[7].set(True)
+    st = map_ops.update_track_stats(CFG, st, vis, mp, ok)
+    assert int(st.pt_n_found[5]) == 2
+    assert int(st.pt_n_found[7]) == 1
+    assert int(st.pt_n_vis[5]) == 1
+    assert int(st.pt_n_vis[0]) == 0
