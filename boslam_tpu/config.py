@@ -69,7 +69,7 @@ class TrackerConfig:
     chi2_2d: float = 5.991         # 95% chi-square, 2 dof (reprojection)
     chi2_3d: float = 7.815         # 95% chi-square, 3 dof (depth-augmented)
     huber_delta: float = 2.4477    # sqrt(5.991)
-    depth_weight: float = 1.0      # weight of the depth residual row
+    depth_weight: float = 20.0     # depth residual scale: 1/sigma_z with sigma_z=5cm, in pixel-sigma units
     # Keyframe policy (reference need_new_keyframe()).
     kf_min_interval: int = 3       # min frames between KFs
     kf_max_interval: int = 30      # force a KF after this many frames

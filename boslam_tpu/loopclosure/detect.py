@@ -1,0 +1,102 @@
+"""Loop detection: BoW candidate retrieval, temporal consistency, geometric
+verification (reference loop_closing.py, SURVEY.md §2.1/§3.4).
+
+Candidate scoring is a dense BoW matmul over all keyframes with masks for
+covisible neighbors and recency; the covisibility-neighborhood minimum score
+is the adaptive baseline, exactly the reference's policy.  Verification is
+descriptor matching + 3D-3D SE3 RANSAC on keypoint backprojections (RGBD =>
+scale-1 SE3, reference compute_se3()).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from boslam_tpu.config import SlamConfig
+from boslam_tpu.geometry import camera as cam_mod
+from boslam_tpu.loopclosure.vocab import LoopState
+from boslam_tpu.matching import hamming
+from boslam_tpu.solvers import ransac_se3
+
+
+class LoopDetection(NamedTuple):
+    candidate: jnp.ndarray  # scalar i32 keyframe id (-1 = none)
+    score: jnp.ndarray      # scalar f32 BoW similarity
+    consistent: jnp.ndarray # scalar bool (passed temporal consistency)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def detect_loop(cfg: SlamConfig, loop: LoopState, map_state, kf_id):
+    """Score keyframes against ``kf_id``; returns (LoopState, LoopDetection)."""
+    lc = cfg.loop
+    K = loop.kf_bow.shape[0]
+    scores = loop.kf_bow @ loop.kf_bow[kf_id]           # [K]
+    covis_row = map_state.covis[kf_id]
+    neighbors = (covis_row >= cfg.map.covis_min_weight) & map_state.kf_valid
+    # Baseline: worst similarity among covisible neighbors (reference policy).
+    min_score = jnp.min(jnp.where(neighbors, scores, jnp.inf))
+    min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.1)
+    cand_mask = (
+        map_state.kf_valid
+        & (jnp.arange(K) < map_state.n_kf - lc.min_gap_kf)
+        & ~neighbors
+        & (jnp.arange(K) != kf_id)
+        & loop.vocab_ready
+        & (scores >= jnp.maximum(min_score, 0.02))
+    )
+    best = jnp.argmax(jnp.where(cand_mask, scores, -1.0))
+    found = cand_mask[best]
+    cand = jnp.where(found, best, -1).astype(jnp.int32)
+
+    # Temporal consistency: the same map region must fire on consecutive KFs.
+    near_prev = found & (jnp.abs(cand - loop.streak_kf) <= 5)
+    streak = jnp.where(near_prev, loop.streak_len + 1, jnp.where(found, 1, 0))
+    new_loop = loop._replace(
+        streak_kf=jnp.where(found, cand, -1).astype(jnp.int32),
+        streak_len=streak.astype(jnp.int32),
+    )
+    det = LoopDetection(
+        candidate=cand,
+        score=scores[jnp.clip(best, 0, K - 1)],
+        consistent=found & (streak >= lc.consistency),
+    )
+    return new_loop, det
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def verify_loop(cfg: SlamConfig, map_state, kf_cur, kf_cand, key):
+    """Geometric verification: mutual Hamming matches between the two
+    keyframes' descriptors, then SE3 RANSAC on their keypoint
+    backprojections.
+
+    Returns (ok, T_cur_cand [7], n_inliers) with
+    x_cur ≈ T_cur_cand · x_cand for camera-frame points.
+    """
+    lc = cfg.loop
+    cam = cfg.camera
+    d_cur = map_state.kf_desc[kf_cur]
+    d_cand = map_state.kf_desc[kf_cand]
+    z_cur = map_state.kf_depth[kf_cur]
+    z_cand = map_state.kf_depth[kf_cand]
+    v_cur = map_state.kf_kp_valid[kf_cur] & (z_cur > 0)
+    v_cand = map_state.kf_kp_valid[kf_cand] & (z_cand > 0)
+    dist = hamming.hamming_matrix_mxu(d_cur, d_cand)
+    idx, ok, _ = hamming.match_top2(
+        dist, v_cur, v_cand, max_dist=cfg.matcher.hamming_low,
+        ratio=0.85, mutual=True,
+    )
+    N = d_cur.shape[0]
+    j = jnp.clip(idx, 0, N - 1)
+    xc_cur = cam_mod.backproject(cam, map_state.kf_uv[kf_cur], z_cur)
+    xc_cand = cam_mod.backproject(cam, map_state.kf_uv[kf_cand], z_cand)
+    res = ransac_se3(
+        xc_cand[j], xc_cur, ok, key,
+        n_hypotheses=cfg.tracker.ransac_iters,
+        threshold=lc.se3_threshold,
+        min_inliers=lc.se3_inliers,
+    )
+    return res.ok, res.pose, res.n_inliers

@@ -1,0 +1,227 @@
+"""SLAM system orchestrator (reference slam.py / main.py, SURVEY.md §3.1).
+
+The reference runs tracking / local-mapping / loop-closing as three Python
+threads around a lock-protected map (SURVEY.md §2.3).  Here the map is an
+immutable pytree and every stage is a pure jitted function, so the
+orchestrator is a thin host loop that sequences device megafunctions and
+reads back only decision scalars (keyframe? lost? loop?).  JAX's async
+dispatch overlaps the host bookkeeping with device compute; the stage
+decoupling of the reference survives as the ordering
+    track -> insert/fuse/cull -> local BA -> place recognition -> pose graph
+per keyframe event rather than as OS threads.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from boslam_tpu.config import SlamConfig
+from boslam_tpu.features import extract_features
+from boslam_tpu.features.frontend import rgb_to_gray
+from boslam_tpu.geometry import se3
+from boslam_tpu.loopclosure import (
+    compute_bow, detect_loop, empty_loop_state, train_vocab, verify_loop,
+)
+from boslam_tpu.mapping import empty_map, map_ops
+from boslam_tpu.solvers.local_ba import local_bundle_adjustment
+from boslam_tpu.solvers.pose_graph import (
+    add_loop_edge, apply_pose_correction, build_essential_edges,
+    optimize_pose_graph,
+)
+from boslam_tpu.tracking import init_track_state, relocalize, track_frame
+from boslam_tpu.tracking.tracker import ST_LOST, ST_OK, ST_UNINIT
+
+VOCAB_TRAIN_AT_KF = 5  # train the online vocabulary once this many KFs exist
+
+
+class SlamSystem:
+    """Sequential RGBD SLAM engine over one camera stream."""
+
+    def __init__(self, cfg: SlamConfig, seed: int = 0):
+        self.cfg = cfg
+        self.map = empty_map(cfg)
+        self.loop = empty_loop_state(cfg)
+        self.track = init_track_state()
+        self.key = jax.random.key(seed)
+        self.timestamps: List[float] = []
+        self.poses_twc: List[np.ndarray] = []
+        self.metrics: List[dict] = []
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+    def process_frame(
+        self, ts: float, rgb: np.ndarray, depth: np.ndarray
+    ) -> np.ndarray:
+        """Feed one RGBD frame; returns the current pose T_wc [7] (numpy)."""
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        feats = extract_features(
+            jnp.asarray(rgb_to_gray(rgb)), jnp.asarray(depth), cfg
+        )
+        status = int(self.track.status)
+        rec = {"ts": ts, "status": status}
+
+        if status == ST_UNINIT:
+            self._initialize(feats)
+            rec.update(event="init", n_inliers=0)
+        elif status == ST_LOST:
+            self.key, k = jax.random.split(self.key)
+            self.track, ok, n_inl = relocalize(cfg, self.map, self.track, feats, k)
+            rec.update(event="relocalize", reloc_ok=bool(ok), n_inliers=int(n_inl))
+        else:
+            self.track, out = track_frame(cfg, self.map, self.track, feats)
+            self.map = map_ops.update_track_stats(
+                cfg, self.map, out.visible, out.match_pt, out.match_ok
+            )
+            rec.update(
+                n_inliers=int(out.n_inliers),
+                n_matches=int(out.n_matches),
+                n_visible=int(out.n_visible),
+                lost=bool(out.lost),
+            )
+            if bool(out.lost):
+                rec["event"] = "lost"
+            elif bool(out.need_kf) and int(self.map.n_kf) < cfg.map.max_keyframes:
+                self._keyframe_pipeline(feats, out, rec)
+
+        pose_twc = np.asarray(se3.pose_inv(self.track.pose_cw))
+        self.timestamps.append(ts)
+        self.poses_twc.append(pose_twc)
+        rec["dt_ms"] = (time.perf_counter() - t0) * 1e3
+        self.metrics.append(rec)
+        return pose_twc
+
+    # ------------------------------------------------------------------
+    def _initialize(self, feats):
+        """Map init from the first RGBD frame: every depth-backed keypoint
+        becomes a landmark (reference init_from_rgbd, §3.2)."""
+        n = self.cfg.orb.n_features
+        mp = jnp.full((n,), -1, jnp.int32)
+        ok = jnp.zeros((n,), bool)
+        self.map = map_ops.insert_keyframe(
+            self.cfg, self.map, feats, se3.pose_identity(), mp, ok, 0
+        )
+        self.track = self.track._replace(
+            status=jnp.asarray(ST_OK, jnp.int32),
+            frame_idx=self.track.frame_idx + 1,
+        )
+
+    # ------------------------------------------------------------------
+    def _keyframe_pipeline(self, feats, out, rec):
+        """Local-mapping + loop-closing work triggered by a new keyframe
+        (reference §3.3 / §3.4, sequenced instead of threaded)."""
+        cfg = self.cfg
+        frame_idx = int(self.track.frame_idx)
+        self.map = map_ops.insert_keyframe(
+            cfg, self.map, feats, out.pose_cw, out.match_pt, out.match_ok,
+            frame_idx,
+        )
+        kf_id = int(self.map.n_kf) - 1
+        self.map = map_ops.fuse_new_keyframe(cfg, self.map)
+        self.map = map_ops.cull_points(cfg, self.map)
+        self.map, ba_stats = local_bundle_adjustment(
+            cfg, self.map, jnp.asarray(kf_id, jnp.int32)
+        )
+        self.map = map_ops.cull_one_keyframe(cfg, self.map)
+        self.track = self.track._replace(
+            last_kf=jnp.asarray(kf_id, jnp.int32),
+            n_since_kf=jnp.zeros((), jnp.int32),
+            pose_cw=self.map.kf_pose[kf_id],
+        )
+        rec.update(
+            event="keyframe",
+            kf_id=kf_id,
+            ba_cost0=float(ba_stats.cost0),
+            ba_cost1=float(ba_stats.cost1),
+            ba_edges=int(ba_stats.n_edges),
+        )
+
+        # --- place recognition -----------------------------------------
+        if not bool(self.loop.vocab_ready):
+            if kf_id + 1 >= VOCAB_TRAIN_AT_KF:
+                self.loop = train_vocab(cfg, self.loop, self.map)
+            return
+        self.loop = compute_bow(cfg, self.loop, self.map, jnp.asarray(kf_id))
+        self.loop, det = detect_loop(
+            cfg, self.loop, self.map, jnp.asarray(kf_id)
+        )
+        if not bool(det.consistent):
+            return
+        cand = int(det.candidate)
+        self.key, k = jax.random.split(self.key)
+        ok, t_rel, n_inl = verify_loop(
+            cfg, self.map, jnp.asarray(kf_id), jnp.asarray(cand), k
+        )
+        rec.update(loop_candidate=cand, loop_inliers=int(n_inl))
+        if not bool(ok):
+            return
+        self._close_loop(kf_id, cand, t_rel, rec)
+
+    # ------------------------------------------------------------------
+    def _close_loop(self, kf_id: int, cand: int, t_rel, rec):
+        """Correct the loop (reference correct_loop + pose-graph, §3.4)."""
+        cfg = self.cfg
+        # Essential-graph measurements from pre-correction poses.
+        edges = build_essential_edges(cfg, self.map)
+        self.map = add_loop_edge(
+            self.map, jnp.asarray(kf_id, jnp.int32), jnp.asarray(cand, jnp.int32),
+            t_rel,
+        )
+        edges = edges._replace(
+            i=jnp.concatenate([edges.i, jnp.asarray([kf_id], jnp.int32)]),
+            j=jnp.concatenate([edges.j, jnp.asarray([cand], jnp.int32)]),
+            t_meas=jnp.concatenate([edges.t_meas, t_rel[None]]),
+            weight=jnp.concatenate([edges.weight, jnp.asarray([200.0])]),
+            valid=jnp.concatenate([edges.valid, jnp.asarray([True])]),
+        )
+        # Rigidly pull the current keyframe onto the loop constraint as init.
+        corrected = se3.pose_compose(t_rel, self.map.kf_pose[cand])
+        old_poses = self.map.kf_pose
+        init = old_poses.at[kf_id].set(corrected)
+        K = old_poses.shape[0]
+        fixed = jnp.zeros(K, bool).at[0].set(True).at[cand].set(True)
+        new_poses = optimize_pose_graph(
+            cfg, init, self.map.kf_valid, edges, fixed
+        )
+        self.map = apply_pose_correction(cfg, self.map, new_poses)
+        self.track = self.track._replace(
+            pose_cw=self.map.kf_pose[kf_id], velocity=se3.pose_identity()
+        )
+        self.n_loops_closed += 1
+        rec["event"] = "loop_closed"
+
+    # ------------------------------------------------------------------
+    def trajectory(self):
+        return np.asarray(self.timestamps), np.stack(self.poses_twc)
+
+    @property
+    def n_keyframes(self) -> int:
+        return int(jnp.sum(self.map.kf_valid))
+
+    @property
+    def n_points(self) -> int:
+        return int(jnp.sum(self.map.pt_valid))
+
+
+def run_sequence(
+    cfg: SlamConfig,
+    frames,
+    seed: int = 0,
+    progress: bool = False,
+) -> SlamSystem:
+    """Run the engine over an iterable of (ts, rgb, depth)."""
+    slam = SlamSystem(cfg, seed=seed)
+    for i, (ts, rgb, depth) in enumerate(frames):
+        slam.process_frame(ts, rgb, depth)
+        if progress and i % 25 == 0:
+            m = slam.metrics[-1]
+            print(
+                f"[{i}] kf={slam.n_keyframes} pts={slam.n_points} "
+                f"inl={m.get('n_inliers', 0)} {m.get('event', '')}"
+            )
+    return slam
