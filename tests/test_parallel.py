@@ -1,0 +1,135 @@
+"""Distributed tests on the 8-device CPU mesh (SURVEY.md §4.2.5): sharded
+Schur BA must match single-device BA; multi-sequence DP tracking must match
+per-sequence tracking."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from boslam_tpu.config import CameraConfig, LocalBaConfig, OrbConfig, SlamConfig
+from boslam_tpu.geometry import se3
+from boslam_tpu.parallel import make_mesh
+from boslam_tpu.parallel.batch import make_batched_tracker, stack_trees
+from boslam_tpu.parallel.sharded_ba import (
+    make_sharded_ba, shard_edges_by_point, stripe_points,
+)
+from boslam_tpu.solvers import ba_core
+
+from tests.test_local_ba import CFG as BA_CFG, make_ba_problem
+
+
+def test_mesh_axes():
+    mesh = make_mesh(8, seq=2)
+    assert mesh.shape["seq"] == 2 and mesh.shape["pt"] == 4
+
+
+def test_sharded_ba_matches_single_device(rng):
+    gt_poses, gt_pts, edges, n_pts = make_ba_problem(rng)
+    L = BA_CFG.local_ba.max_local_points  # 64
+    poses0 = se3.retract(gt_poses, jnp.asarray(
+        np.concatenate([rng.normal(size=(2, 6)) * 0.03, np.zeros((2, 6))])
+    ))
+    pts0 = gt_pts + jnp.asarray(
+        np.concatenate([rng.normal(size=(n_pts, 3)) * 0.05,
+                        np.zeros((L - n_pts, 3))])
+    )
+    opt_mask = jnp.array([True, True])
+
+    # --- single-device reference: same LM loop on one shard mesh ----------
+    mesh1 = make_mesh(1)
+    fn1 = make_sharded_ba(BA_CFG, mesh1, n_iters=12)
+    e1, _ = shard_edges_by_point(edges, L, 1)
+    p1, perm1 = stripe_points(pts0, 1)
+    poses_a, pts_a, c0_a, c1_a = fn1(poses0, p1, e1, opt_mask)
+
+    # --- 8-way sharded --------------------------------------------------
+    mesh8 = make_mesh(8)
+    fn8 = make_sharded_ba(BA_CFG, mesh8, n_iters=12)
+    e8, ecap = shard_edges_by_point(edges, L, 8)
+    p8, perm8 = stripe_points(pts0, 8)
+    poses_b, pts_b, c0_b, c1_b = fn8(poses0, p8, e8, opt_mask)
+
+    assert abs(float(c0_a) - float(c0_b)) < 1e-2 * max(float(c0_a), 1.0)
+    assert abs(float(c1_a) - float(c1_b)) < 0.05 * max(float(c1_a), 1e-3) + 1e-3
+    dr, dt = se3.pose_distance(
+        jnp.asarray(np.asarray(poses_a[:2])), jnp.asarray(np.asarray(poses_b[:2]))
+    )
+    assert float(jnp.max(dt)) < 1e-3
+    assert float(jnp.max(dr)) < 1e-3
+    # Points converge to groundtruth on both paths.
+    gt_p8 = np.asarray(gt_pts)[perm8]
+    used = np.arange(L)[perm8] < n_pts
+    err = np.linalg.norm(np.asarray(pts_b) - gt_p8, axis=-1)[used]
+    assert err.max() < 5e-3
+
+
+def test_sharded_ba_converges(rng):
+    """Sharded solve drives the cost to ~zero (exact synthetic problem)."""
+    gt_poses, gt_pts, edges, n_pts = make_ba_problem(rng)
+    L = BA_CFG.local_ba.max_local_points
+    poses0 = se3.retract(gt_poses, jnp.asarray(
+        np.concatenate([rng.normal(size=(2, 6)) * 0.02, np.zeros((2, 6))])
+    ))
+    pts0 = gt_pts + jnp.asarray(
+        np.concatenate([rng.normal(size=(n_pts, 3)) * 0.03,
+                        np.zeros((L - n_pts, 3))])
+    )
+    opt_mask = jnp.array([True, True])
+    mesh8 = make_mesh(8)
+    fn8 = make_sharded_ba(BA_CFG, mesh8, n_iters=15)
+    e8, _ = shard_edges_by_point(edges, L, 8)
+    p8, _ = stripe_points(pts0, 8)
+    _, _, c0, c1 = fn8(poses0, p8, e8, opt_mask)
+    assert float(c1) < 1e-3 * max(float(c0), 1.0)
+
+
+CAM = CameraConfig(width=160, height=120, fx=70.0, fy=70.0, cx=80.0, cy=60.0)
+DP_CFG = SlamConfig(camera=CAM, orb=OrbConfig(n_features=128, n_levels=3))
+
+
+def test_batched_tracking_matches_sequential():
+    from boslam_tpu.features import extract_features
+    from boslam_tpu.features.frontend import rgb_to_gray
+    from boslam_tpu.io import synthetic
+    from boslam_tpu.mapping import empty_map, map_ops
+    from boslam_tpu.tracking import init_track_state, track_frame
+
+    n = DP_CFG.orb.n_features
+    maps, tracks, feats1 = [], [], []
+    for seed in (0, 1):
+        traj = synthetic.random_walk_trajectory(2, seed=seed, step_t=0.01)
+        frames = synthetic.render_sequence(CAM, traj)
+        f0 = extract_features(
+            jnp.asarray(rgb_to_gray(frames[0][1])), jnp.asarray(frames[0][2]), DP_CFG
+        )
+        st = map_ops.insert_keyframe(
+            DP_CFG, empty_map(DP_CFG), f0, se3.pose_identity(),
+            jnp.full((n,), -1, jnp.int32), jnp.zeros(n, bool), 0,
+        )
+        tr = init_track_state()._replace(status=jnp.asarray(1, jnp.int32))
+        f1 = extract_features(
+            jnp.asarray(rgb_to_gray(frames[1][1])), jnp.asarray(frames[1][2]), DP_CFG
+        )
+        maps.append(st)
+        tracks.append(tr)
+        feats1.append(f1)
+
+    # Sequential reference.
+    ref = [track_frame(DP_CFG, m, t, f) for m, t, f in zip(maps, tracks, feats1)]
+
+    # Batched + sharded over 'seq'.
+    mesh = make_mesh(2, seq=2)
+    step, shard = make_batched_tracker(DP_CFG, mesh)
+    bm = stack_trees(maps)
+    bt = stack_trees(tracks)
+    bf = stack_trees(feats1)
+    new_tracks, outs = step(bm, bt, bf)
+
+    for s in range(2):
+        np.testing.assert_allclose(
+            np.asarray(outs.pose_cw[s]), np.asarray(ref[s][1].pose_cw), atol=1e-4
+        )
+        assert int(outs.n_inliers[s]) == int(ref[s][1].n_inliers)
