@@ -1,0 +1,111 @@
+"""CLI: run the engine on a TUM RGBD sequence or the synthetic fixture
+(reference main.py / eval script, SURVEY.md L8).
+
+Examples:
+    python -m boslam_tpu.main --synthetic 100 --out traj.txt
+    python -m boslam_tpu.main --tum /data/rgbd_dataset_freiburg1_xyz \
+        --camera fr1 --out traj.txt --metrics run.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="boslam_tpu RGBD SLAM")
+    ap.add_argument("--tum", type=str, help="TUM sequence directory")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run N synthetic frames instead of a dataset")
+    ap.add_argument("--camera", choices=["fr1", "fr2", "fr3"], default="fr1")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--out", type=str, default="trajectory.txt")
+    ap.add_argument("--metrics", type=str, default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save engine state every N keyframes")
+    ap.add_argument("--checkpoint-dir", type=str, default="ckpt")
+    ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--profile", type=str, default=None,
+                    help="jax.profiler trace logdir")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from boslam_tpu.config import SlamConfig, TUM_FR1, TUM_FR2, TUM_FR3
+    from boslam_tpu.geometry import align
+    from boslam_tpu.io import synthetic as synth
+    from boslam_tpu.io import tum
+    from boslam_tpu.slam import SlamSystem
+    from boslam_tpu.utils import checkpoint as ckpt
+    from boslam_tpu.utils.metrics import dump_metrics, profile_trace, summarize
+
+    cam = {"fr1": TUM_FR1, "fr2": TUM_FR2, "fr3": TUM_FR3}[args.camera]
+    cfg = SlamConfig(camera=cam)
+
+    gt = None
+    if args.synthetic:
+        traj = synth.orbit_trajectory(args.synthetic, radius=0.6, loop=True)
+        frames = synth.render_sequence(cfg.camera, traj)
+        gt = (traj.timestamps, traj.poses_twc)
+    elif args.tum:
+        frames = tum.sequence(args.tum, cfg.camera.depth_factor, limit=args.limit)
+        try:
+            gt_ts, gt_poses = tum.read_groundtruth(f"{args.tum}/groundtruth.txt")
+            gt = (gt_ts, gt_poses)
+        except OSError:
+            pass
+    else:
+        ap.error("need --tum or --synthetic")
+
+    slam = SlamSystem(cfg, seed=args.seed)
+    if args.resume:
+        ckpt.restore(args.resume, slam)
+        print(f"resumed from {args.resume}: {slam.n_keyframes} keyframes",
+              file=sys.stderr)
+
+    last_ckpt_kf = slam.n_keyframes
+    with profile_trace(args.profile):
+        for i, (ts, rgb, depth) in enumerate(frames):
+            slam.process_frame(ts, rgb, depth)
+            m = slam.metrics[-1]
+            if i % 25 == 0:
+                print(
+                    f"[{i}] kf={slam.n_keyframes} pts={slam.n_points} "
+                    f"inl={m.get('n_inliers', 0)} {m.get('event', '')}",
+                    file=sys.stderr,
+                )
+            if (
+                args.checkpoint_every
+                and slam.n_keyframes >= last_ckpt_kf + args.checkpoint_every
+            ):
+                ckpt.save(args.checkpoint_dir, slam)
+                last_ckpt_kf = slam.n_keyframes
+
+    ts_arr, poses = slam.trajectory()
+    tum.save_trajectory(args.out, ts_arr, poses)
+    print(f"wrote {len(ts_arr)} poses to {args.out}", file=sys.stderr)
+
+    summary = summarize(slam.metrics)
+    if gt is not None:
+        import jax.numpy as jnp
+
+        if args.synthetic:
+            gt_assoc, mask = gt[1], np.ones(len(ts_arr), bool)
+        else:
+            gt_assoc, mask = tum.associate_groundtruth(ts_arr, gt[0], gt[1])
+        rmse, _ = align.ate_rmse(
+            jnp.asarray(poses[:, 4:]), jnp.asarray(gt_assoc[:, 4:]),
+            jnp.asarray(mask.astype(np.float32)),
+        )
+        summary["ate_rmse_m"] = float(rmse)
+    print(json.dumps(summary))
+
+    if args.metrics:
+        dump_metrics(args.metrics, slam.metrics)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Checkpoint / resume: the whole engine state is one pytree (SURVEY.md §5.4).
+
+The reference has no checkpointing (trajectory dump at exit only); here the
+map, loop-closure state, tracker state and RNG key snapshot to disk via
+orbax-checkpoint every N keyframes and a run can resume mid-sequence —
+deterministic replay for crash recovery (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def _tree_to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save(path: str, slam) -> None:
+    """Snapshot a SlamSystem's device state + host trajectory."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    state = {
+        "map": _tree_to_numpy(slam.map._asdict()),
+        "loop": _tree_to_numpy(slam.loop._asdict()),
+        "track": _tree_to_numpy(slam.track._asdict()),
+        "key": np.asarray(jax.random.key_data(slam.key)),
+        "timestamps": np.asarray(slam.timestamps, np.float64),
+        "poses_twc": (
+            np.stack(slam.poses_twc)
+            if slam.poses_twc
+            else np.zeros((0, 7), np.float32)
+        ),
+        "n_loops_closed": np.asarray(slam.n_loops_closed),
+    }
+    ckptr.save(path, state, force=True)
+
+
+def restore(path: str, slam) -> None:
+    """Restore a SlamSystem in place (cfg must match the snapshot's shapes)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    state = ckptr.restore(path)
+    import jax.numpy as jnp
+
+    slam.map = type(slam.map)(
+        **{k: jnp.asarray(v) for k, v in state["map"].items()}
+    )
+    slam.loop = type(slam.loop)(
+        **{k: jnp.asarray(v) for k, v in state["loop"].items()}
+    )
+    slam.track = type(slam.track)(
+        **{k: jnp.asarray(v) for k, v in state["track"].items()}
+    )
+    slam.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+    slam.timestamps = list(np.asarray(state["timestamps"]))
+    slam.poses_twc = [p for p in np.asarray(state["poses_twc"])]
+    slam.n_loops_closed = int(state["n_loops_closed"])

@@ -1,0 +1,67 @@
+"""Structured observability (SURVEY.md §5.5): per-frame metric records to
+JSONL, plus jax.profiler trace hooks (§5.1).
+
+The reference prints matches/inliers to stdout; here every frame appends a
+dict (n_matches, n_inliers, track state, BA cost before/after, timings) that
+streams to JSONL for offline analysis, and ATE can be computed online when
+groundtruth is available.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+from typing import Iterable, Optional
+
+
+class JsonlWriter:
+    def __init__(self, path: str):
+        self._f = open(path, "a", buffering=1)
+
+    def write(self, rec: dict) -> None:
+        self._f.write(json.dumps(rec, default=float) + "\n")
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def dump_metrics(path: str, metrics: Iterable[dict]) -> None:
+    with open(path, "w") as f:
+        for m in metrics:
+            f.write(json.dumps(m, default=float) + "\n")
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: Optional[str]):
+    """jax.profiler trace context (TensorBoard-viewable) when logdir given."""
+    if not logdir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def summarize(metrics: list) -> dict:
+    """Aggregate a run's metric records."""
+    frames = [m for m in metrics if "n_inliers" in m]
+    kf = [m for m in metrics if m.get("event") == "keyframe" or m.get("event") == "loop_closed"]
+    out = {
+        "n_frames": len(metrics),
+        "n_keyframe_events": len(kf),
+        "n_lost": sum(1 for m in metrics if m.get("lost", False)),
+        "n_loops": sum(1 for m in metrics if m.get("event") == "loop_closed"),
+    }
+    if frames:
+        inl = [m["n_inliers"] for m in frames]
+        out["mean_inliers"] = sum(inl) / len(inl)
+    dts = [m["dt_ms"] for m in metrics if "dt_ms" in m]
+    if dts:
+        dts_sorted = sorted(dts)
+        out["median_frame_ms"] = dts_sorted[len(dts) // 2]
+        out["p90_frame_ms"] = dts_sorted[int(len(dts) * 0.9)]
+    return out

@@ -1,0 +1,61 @@
+"""Checkpoint round-trip + metrics summarization tests (SURVEY.md §5.4/5.5)."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from boslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+from boslam_tpu.io import synthetic
+from boslam_tpu.slam import SlamSystem
+from boslam_tpu.utils import checkpoint as ckpt
+from boslam_tpu.utils.metrics import dump_metrics, summarize
+
+CAM = CameraConfig(width=160, height=120, fx=70.0, fy=70.0, cx=80.0, cy=60.0)
+CFG = SlamConfig(camera=CAM, orb=OrbConfig(n_features=128, n_levels=3))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    traj = synthetic.orbit_trajectory(8, radius=0.3)
+    frames = synthetic.render_sequence(CAM, traj)
+    slam = SlamSystem(CFG)
+    for ts, rgb, depth in frames:
+        slam.process_frame(ts, rgb, depth)
+
+    path = str(tmp_path / "ckpt")
+    ckpt.save(path, slam)
+
+    slam2 = SlamSystem(CFG)
+    ckpt.restore(path, slam2)
+    assert slam2.n_keyframes == slam.n_keyframes
+    assert slam2.n_points == slam.n_points
+    np.testing.assert_array_equal(
+        np.asarray(slam2.map.kf_pose), np.asarray(slam.map.kf_pose)
+    )
+    np.testing.assert_allclose(
+        np.stack(slam2.poses_twc), np.stack(slam.poses_twc), atol=1e-7
+    )
+
+    # Resumed engine keeps tracking.
+    more = synthetic.render_sequence(
+        CAM, synthetic.orbit_trajectory(10, radius=0.3)
+    )
+    slam2.process_frame(*more[-1])
+    assert not slam2.metrics[-1].get("lost", False)
+
+
+def test_metrics_summary(tmp_path):
+    metrics = [
+        {"ts": 0.0, "event": "init", "dt_ms": 5.0},
+        {"ts": 0.1, "n_inliers": 50, "dt_ms": 7.0},
+        {"ts": 0.2, "n_inliers": 60, "event": "keyframe", "dt_ms": 9.0},
+        {"ts": 0.3, "n_inliers": 10, "lost": True, "dt_ms": 6.0},
+    ]
+    s = summarize(metrics)
+    assert s["n_frames"] == 4
+    assert s["n_lost"] == 1
+    assert s["mean_inliers"] == 40.0
+    p = tmp_path / "m.jsonl"
+    dump_metrics(str(p), metrics)
+    lines = [json.loads(line) for line in open(p)]
+    assert len(lines) == 4 and lines[2]["event"] == "keyframe"
