@@ -53,6 +53,16 @@ class SlamSystem:
         self.metrics: List[dict] = []
         self.n_loops_closed = 0
 
+        # One fused per-frame dispatch: extract + track + pose inverse, so
+        # the steady-state path costs a single jit call and a single packed
+        # scalar readback (remote-device RTTs dominate otherwise).
+        def _frame_fn(gray, depth, map_state, track_state):
+            feats = extract_features(gray, depth, cfg)
+            new_track, out = track_frame(cfg, map_state, track_state, feats)
+            return feats, new_track, out, se3.pose_inv(new_track.pose_cw)
+
+        self._frame_fn = jax.jit(_frame_fn)
+
     # ------------------------------------------------------------------
     def process_frame(
         self, ts: float, rgb: np.ndarray, depth: np.ndarray
@@ -60,41 +70,54 @@ class SlamSystem:
         """Feed one RGBD frame; returns the current pose T_wc [7] (numpy)."""
         t0 = time.perf_counter()
         cfg = self.cfg
-        feats = extract_features(
-            jnp.asarray(rgb_to_gray(rgb)), jnp.asarray(depth), cfg
-        )
         status = int(self.track.status)
         rec = {"ts": ts, "status": status}
+        gray = jnp.asarray(rgb_to_gray(rgb))
+        depth_d = jnp.asarray(depth)
 
         if status == ST_UNINIT:
+            feats = extract_features(gray, depth_d, cfg)
             self._initialize(feats)
             rec.update(event="init", n_inliers=0)
+            pose_twc = np.asarray(se3.pose_inv(self.track.pose_cw))
         elif status == ST_LOST:
+            feats = extract_features(gray, depth_d, cfg)
             self.key, k = jax.random.split(self.key)
             self.track, ok, n_inl = relocalize(cfg, self.map, self.track, feats, k)
             rec.update(event="relocalize", reloc_ok=bool(ok), n_inliers=int(n_inl))
+            pose_twc = np.asarray(se3.pose_inv(self.track.pose_cw))
         else:
-            self.track, out = track_frame(cfg, self.map, self.track, feats)
+            feats, self.track, out, pose_twc_dev = self._frame_fn(
+                gray, depth_d, self.map, self.track
+            )
             self.map = map_ops.update_track_stats(
                 cfg, self.map, out.visible, out.match_pt, out.match_ok
             )
+            # ONE packed readback for all host decisions + the pose.
+            scalars, pose_twc = jax.device_get((out.scalars, pose_twc_dev))
+            n_inl, n_match, n_vis, need_kf, lost = scalars
             rec.update(
-                n_inliers=int(out.n_inliers),
-                n_matches=int(out.n_matches),
-                n_visible=int(out.n_visible),
-                lost=bool(out.lost),
+                n_inliers=int(n_inl),
+                n_matches=int(n_match),
+                n_visible=int(n_vis),
+                lost=bool(lost > 0.5),
             )
-            if bool(out.lost):
+            if lost > 0.5:
                 rec["event"] = "lost"
-            elif bool(out.need_kf) and int(self.map.n_kf) < cfg.map.max_keyframes:
+            elif need_kf > 0.5 and len(self._kf_ids()) < cfg.map.max_keyframes:
                 self._keyframe_pipeline(feats, out, rec)
+                pose_twc = np.asarray(se3.pose_inv(self.track.pose_cw))
 
-        pose_twc = np.asarray(se3.pose_inv(self.track.pose_cw))
         self.timestamps.append(ts)
-        self.poses_twc.append(pose_twc)
+        self.poses_twc.append(np.asarray(pose_twc))
         rec["dt_ms"] = (time.perf_counter() - t0) * 1e3
         self.metrics.append(rec)
-        return pose_twc
+        return np.asarray(pose_twc)
+
+    def _kf_ids(self):
+        if not hasattr(self, "_n_kf_host"):
+            self._n_kf_host = int(self.map.n_kf)
+        return range(self._n_kf_host)
 
     # ------------------------------------------------------------------
     def _initialize(self, feats):
@@ -106,6 +129,7 @@ class SlamSystem:
         self.map = map_ops.insert_keyframe(
             self.cfg, self.map, feats, se3.pose_identity(), mp, ok, 0
         )
+        self._n_kf_host = 1
         self.track = self.track._replace(
             status=jnp.asarray(ST_OK, jnp.int32),
             frame_idx=self.track.frame_idx + 1,
@@ -122,6 +146,7 @@ class SlamSystem:
             frame_idx,
         )
         kf_id = int(self.map.n_kf) - 1
+        self._n_kf_host = kf_id + 1
         self.map = map_ops.fuse_new_keyframe(cfg, self.map)
         self.map = map_ops.cull_points(cfg, self.map)
         self.map, ba_stats = local_bundle_adjustment(

@@ -47,6 +47,10 @@ class TrackOut(NamedTuple):
     n_matches: jnp.ndarray  # scalar i32 pre-BA matches
     need_kf: jnp.ndarray    # scalar bool keyframe-decision hint
     lost: jnp.ndarray       # scalar bool
+    # One packed device->host readback: [n_inliers, n_matches, n_visible,
+    # need_kf, lost] as f32 — the host loop fetches ONLY this (one RTT over
+    # the device tunnel instead of five).
+    scalars: jnp.ndarray
 
 
 def init_track_state() -> TrackState:
@@ -86,14 +90,21 @@ def track_frame(cfg: SlamConfig, map_state, track: TrackState, feats):
     idx1, ok1, res1, vis1 = _match_and_optimize(
         cfg, feats, pose_pred, map_state, mc.search_radius, mc.hamming_low, mc.ratio
     )
-    # Fallback: if too few matches, widen (reference's lost-motion-model path).
+    # Fallback: if too few matches, widen (reference's lost-motion-model
+    # path).  lax.cond so the expensive wide pass only runs when needed.
     few = jnp.sum(ok1) < 2 * tk.min_inliers
-    idx1b, ok1b, res1b, _ = _match_and_optimize(
-        cfg, feats, pose_pred, map_state, mc.search_radius_wide, mc.hamming_high, mc.ratio
-    )
-    idx1 = jnp.where(few, idx1b, idx1)
-    ok1 = jnp.where(few, ok1b, ok1)
-    pose1 = jnp.where(few, res1b.pose, res1.pose)
+
+    def wide_pass(_):
+        idx1b, ok1b, res1b, _ = _match_and_optimize(
+            cfg, feats, pose_pred, map_state, mc.search_radius_wide,
+            mc.hamming_high, mc.ratio,
+        )
+        return idx1b, ok1b, res1b.pose
+
+    def keep(_):
+        return idx1, ok1, res1.pose
+
+    idx1, ok1, pose1 = jax.lax.cond(few, wide_pass, keep, None)
 
     # Pass 2: track local map — refined pose, fresh window, re-optimize.
     idx2, ok2, res2, vis2 = _match_and_optimize(
@@ -144,6 +155,15 @@ def track_frame(cfg: SlamConfig, map_state, track: TrackState, feats):
         n_matches=n_match,
         need_kf=need_kf,
         lost=lost,
+        scalars=jnp.stack(
+            [
+                n_inl.astype(jnp.float32),
+                n_match.astype(jnp.float32),
+                jnp.sum(vis2).astype(jnp.float32),
+                need_kf.astype(jnp.float32),
+                lost.astype(jnp.float32),
+            ]
+        ),
     )
     return new_track, out
 
