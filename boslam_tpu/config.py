@@ -64,8 +64,8 @@ class TrackerConfig:
     """Frame-to-map tracking (reference tracking.py, SURVEY.md §2.1/§3.2)."""
 
     min_inliers: int = 12          # below this -> LOST
-    ba_rounds: int = 4             # motion-only BA outer rounds with chi2 gating
-    ba_iters: int = 8              # GN iterations per round
+    ba_rounds: int = 3             # motion-only BA outer rounds with chi2 gating
+    ba_iters: int = 6              # GN iterations per round
     chi2_2d: float = 5.991         # 95% chi-square, 2 dof (reprojection)
     chi2_3d: float = 7.815         # 95% chi-square, 3 dof (depth-augmented)
     huber_delta: float = 2.4477    # sqrt(5.991)
@@ -102,7 +102,7 @@ class LocalBaConfig:
     n_opt_kf: int = 8              # optimized camera poses (covisible window)
     n_fixed_kf: int = 8            # fixed second-ring poses
     max_local_points: int = 4096   # compacted active landmark capacity
-    lm_iters: int = 10
+    lm_iters: int = 8
     lm_lambda0: float = 1e-4
     huber_delta: float = 2.4477
 

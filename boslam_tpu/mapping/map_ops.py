@@ -117,10 +117,14 @@ def _drop_dead_obs(state: MapState) -> MapState:
     return state._replace(kf_obs_pt=jnp.where(alive, obs, -1))
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def cull_points(cfg: SlamConfig, state: MapState) -> MapState:
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def cull_points(cfg: SlamConfig, state: MapState, update_covis: bool = True) -> MapState:
     """Remove unreliable recent points (reference local_mapping culling:
-    found-ratio < 0.25, or seen by < 3 keyframes once mature)."""
+    found-ratio < 0.25, or seen by < 3 keyframes once mature).
+
+    ``update_covis=False`` lets a fused keyframe pipeline defer the covis
+    refresh to its final op (the incidence scatter is the expensive part).
+    """
     m = cfg.map
     n_obs = point_obs_count(state)
     age = state.n_kf - state.pt_first_kf  # in keyframes
@@ -130,7 +134,7 @@ def cull_points(cfg: SlamConfig, state: MapState) -> MapState:
     keep = state.pt_valid & ~bad_ratio & ~bad_obs
     st = state._replace(pt_valid=keep)
     st = _drop_dead_obs(st)
-    return recompute_covis(st)
+    return recompute_covis(st) if update_covis else st
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

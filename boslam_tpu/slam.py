@@ -38,6 +38,58 @@ from boslam_tpu.tracking.tracker import ST_LOST, ST_OK, ST_UNINIT
 
 VOCAB_TRAIN_AT_KF = 5  # train the online vocabulary once this many KFs exist
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _frame_megafn(cfg: SlamConfig, gray, depth, map_state, track_state):
+    """One fused per-frame dispatch: extract + track + stat update + pose
+    inverse.  Module-level with cfg static so the compiled executable is
+    shared across SlamSystem instances (a per-instance closure would
+    recompile the whole graph per instance — ~30 s on the remote TPU)."""
+    feats = extract_features(gray, depth, cfg)
+    new_track, out = track_frame(cfg, map_state, track_state, feats)
+    new_map = map_ops.update_track_stats(
+        cfg, map_state, out.visible, out.match_pt, out.match_ok
+    )
+    return feats, new_track, new_map, out, se3.pose_inv(new_track.pose_cw)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _keyframe_megafn(cfg: SlamConfig, map_state, feats, pose_cw, match_pt,
+                     match_ok, frame_idx):
+    """Fused keyframe event: insert + fuse + cull points + local BA + cull
+    one keyframe — one device dispatch, one packed stats readback."""
+    st = map_ops.insert_keyframe(
+        cfg, map_state, feats, pose_cw, match_pt, match_ok, frame_idx
+    )
+    kf_id = st.n_kf - 1
+    st = map_ops.fuse_new_keyframe(cfg, st)
+    st = map_ops.cull_points(cfg, st, update_covis=False)
+    st, ba_stats = local_bundle_adjustment(cfg, st, kf_id)
+    st = map_ops.cull_one_keyframe(cfg, st)
+    stats = jnp.stack(
+        [
+            kf_id.astype(jnp.float32),
+            ba_stats.cost0,
+            ba_stats.cost1,
+            ba_stats.n_edges.astype(jnp.float32),
+        ]
+    )
+    return st, st.kf_pose[kf_id], stats
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _bow_detect_megafn(cfg: SlamConfig, loop_state, map_state, kf_id):
+    """Fused BoW insert + loop detection; packed scalar verdict."""
+    loop_state = compute_bow(cfg, loop_state, map_state, kf_id)
+    loop_state, det = detect_loop(cfg, loop_state, map_state, kf_id)
+    packed = jnp.stack(
+        [det.candidate.astype(jnp.float32), det.score,
+         det.consistent.astype(jnp.float32)]
+    )
+    return loop_state, packed
+
 
 class SlamSystem:
     """Sequential RGBD SLAM engine over one camera stream."""
@@ -53,15 +105,6 @@ class SlamSystem:
         self.metrics: List[dict] = []
         self.n_loops_closed = 0
 
-        # One fused per-frame dispatch: extract + track + pose inverse, so
-        # the steady-state path costs a single jit call and a single packed
-        # scalar readback (remote-device RTTs dominate otherwise).
-        def _frame_fn(gray, depth, map_state, track_state):
-            feats = extract_features(gray, depth, cfg)
-            new_track, out = track_frame(cfg, map_state, track_state, feats)
-            return feats, new_track, out, se3.pose_inv(new_track.pose_cw)
-
-        self._frame_fn = jax.jit(_frame_fn)
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -87,11 +130,8 @@ class SlamSystem:
             rec.update(event="relocalize", reloc_ok=bool(ok), n_inliers=int(n_inl))
             pose_twc = np.asarray(se3.pose_inv(self.track.pose_cw))
         else:
-            feats, self.track, out, pose_twc_dev = self._frame_fn(
-                gray, depth_d, self.map, self.track
-            )
-            self.map = map_ops.update_track_stats(
-                cfg, self.map, out.visible, out.match_pt, out.match_ok
+            feats, self.track, self.map, out, pose_twc_dev = _frame_megafn(
+                cfg, gray, depth_d, self.map, self.track
             )
             # ONE packed readback for all host decisions + the pose.
             scalars, pose_twc = jax.device_get((out.scalars, pose_twc_dev))
@@ -140,30 +180,24 @@ class SlamSystem:
         """Local-mapping + loop-closing work triggered by a new keyframe
         (reference §3.3 / §3.4, sequenced instead of threaded)."""
         cfg = self.cfg
-        frame_idx = int(self.track.frame_idx)
-        self.map = map_ops.insert_keyframe(
+        self.map, kf_pose, kf_stats = _keyframe_megafn(
             cfg, self.map, feats, out.pose_cw, out.match_pt, out.match_ok,
-            frame_idx,
+            self.track.frame_idx,
         )
-        kf_id = int(self.map.n_kf) - 1
+        kf_idf, ba_cost0, ba_cost1, ba_edges = jax.device_get(kf_stats)
+        kf_id = int(kf_idf)
         self._n_kf_host = kf_id + 1
-        self.map = map_ops.fuse_new_keyframe(cfg, self.map)
-        self.map = map_ops.cull_points(cfg, self.map)
-        self.map, ba_stats = local_bundle_adjustment(
-            cfg, self.map, jnp.asarray(kf_id, jnp.int32)
-        )
-        self.map = map_ops.cull_one_keyframe(cfg, self.map)
         self.track = self.track._replace(
             last_kf=jnp.asarray(kf_id, jnp.int32),
             n_since_kf=jnp.zeros((), jnp.int32),
-            pose_cw=self.map.kf_pose[kf_id],
+            pose_cw=kf_pose,
         )
         rec.update(
             event="keyframe",
             kf_id=kf_id,
-            ba_cost0=float(ba_stats.cost0),
-            ba_cost1=float(ba_stats.cost1),
-            ba_edges=int(ba_stats.n_edges),
+            ba_cost0=float(ba_cost0),
+            ba_cost1=float(ba_cost1),
+            ba_edges=int(ba_edges),
         )
 
         # --- place recognition -----------------------------------------
@@ -171,13 +205,13 @@ class SlamSystem:
             if kf_id + 1 >= VOCAB_TRAIN_AT_KF:
                 self.loop = train_vocab(cfg, self.loop, self.map)
             return
-        self.loop = compute_bow(cfg, self.loop, self.map, jnp.asarray(kf_id))
-        self.loop, det = detect_loop(
+        self.loop, det_packed = _bow_detect_megafn(
             cfg, self.loop, self.map, jnp.asarray(kf_id)
         )
-        if not bool(det.consistent):
+        candf, score, consistent = jax.device_get(det_packed)
+        if consistent < 0.5:
             return
-        cand = int(det.candidate)
+        cand = int(candf)
         self.key, k = jax.random.split(self.key)
         ok, t_rel, n_inl = verify_loop(
             cfg, self.map, jnp.asarray(kf_id), jnp.asarray(cand), k

@@ -88,23 +88,35 @@ def optimize_pose(
     def gn_round(carry, _):
         pose, inlier = carry
 
-        def gn_step(pose, _):
+        def gn_step(carry, _):
+            pose, prev_cost = carry
             r, J = pose_residuals(cfg, pose, pts_w, uv_obs, depth_obs, has_depth)
             chi2 = jnp.sum(r * r, axis=-1) * info
+            cost = jnp.sum(robust.huber_cost(chi2, tk.huber_delta) * inlier)
+            # Reject the PREVIOUS step if it increased the robust cost — the
+            # guard reuses this iteration's residual evaluation instead of
+            # paying a second one (the Huber-IRLS step is almost always
+            # downhill from a motion-model init, so one-step-late rejection
+            # costs nothing in practice).
             w = robust.huber_weight(chi2, tk.huber_delta) * info * inlier
             H = jnp.einsum("nri,n,nrj->ij", J, w, J)
             b = -jnp.einsum("nri,n,nr->i", J, w, r)
             H = H + 1e-5 * jnp.eye(6) * (1.0 + jnp.trace(H) / 6.0)
             xi = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), b)
-            # Reject steps that increase the robust cost (cheap LM guard).
             new_pose = se3.retract(pose, xi)
-            c_old = jnp.sum(robust.huber_cost(chi2, tk.huber_delta) * inlier)
-            c_new = jnp.sum(
-                robust.huber_cost(edge_chi2(new_pose), tk.huber_delta) * inlier
-            )
-            return jnp.where(c_new < c_old, new_pose, pose), None
+            return (new_pose, cost), (pose, cost)
 
-        pose, _ = jax.lax.scan(gn_step, pose, None, length=tk.ba_iters)
+        (pose_last, _), (poses_hist, costs_hist) = jax.lax.scan(
+            gn_step, (pose, jnp.inf), None, length=tk.ba_iters
+        )
+        # Pick the iterate with the lowest observed cost (includes the final
+        # proposal's predecessor; costs_hist[k] is the cost AT poses_hist[k]).
+        best = jnp.argmin(costs_hist)
+        pose = poses_hist[best]
+        final_cost = jnp.sum(
+            robust.huber_cost(edge_chi2(pose_last), tk.huber_delta) * inlier
+        )
+        pose = jnp.where(final_cost <= costs_hist[best], pose_last, pose)
         chi2 = edge_chi2(pose)
         bound = jnp.where(has_depth, tk.chi2_3d, tk.chi2_2d)
         inlier = obs_mask.astype(jnp.float32) * (chi2 < bound)
