@@ -56,24 +56,28 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Warmup pass: compile every megafunction (tracking, keyframe pipeline,
-    # BA, loop machinery) once.
+    # Warmup pass: compile every megafunction (the fused frame step, vocab
+    # training, loop machinery) once.
     t0 = time.perf_counter()
     warm = args.warmup_frames or args.frames
     slam = SlamSystem(cfg)
     for ts, rgb, depth in frames[:warm]:
-        slam.process_frame(ts, rgb, depth)
+        slam.feed(ts, rgb, depth)
+    slam.flush()
     print(
         f"[bench] warmup ({warm} frames incl. compiles): "
         f"{time.perf_counter()-t0:.1f}s",
         file=sys.stderr,
     )
 
-    # Measured pass: fresh engine state, cached executables.
+    # Measured pass: fresh engine state, cached executables.  Frames are
+    # async-dispatched in chunks; stats come back one packed readback per
+    # chunk (per-frame readbacks over the device tunnel would dominate).
     slam = SlamSystem(cfg)
     t0 = time.perf_counter()
     for ts, rgb, depth in frames:
-        slam.process_frame(ts, rgb, depth)
+        slam.feed(ts, rgb, depth)
+    slam.flush()
     elapsed = time.perf_counter() - t0
     fps = len(frames) / elapsed
 

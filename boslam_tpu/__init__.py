@@ -18,6 +18,24 @@ The whole engine state is a pytree; every pipeline stage is a pure, jittable
 masks (SURVEY.md §7.0).
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the fused frame step is one large XLA
+# program and first-compiles in minutes over the remote-TPU tunnel; caching
+# the serialized executable on disk makes every later process start warm.
+# Opt out with BOSLAM_NO_COMPILE_CACHE=1.
+if not _os.environ.get("BOSLAM_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "BOSLAM_COMPILE_CACHE_DIR",
+            _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from boslam_tpu.config import SlamConfig
 
 __version__ = "0.1.0"

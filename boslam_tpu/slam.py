@@ -2,19 +2,26 @@
 
 The reference runs tracking / local-mapping / loop-closing as three Python
 threads around a lock-protected map (SURVEY.md §2.3).  Here the map is an
-immutable pytree and every stage is a pure jitted function, so the
-orchestrator is a thin host loop that sequences device megafunctions and
-reads back only decision scalars (keyframe? lost? loop?).  JAX's async
-dispatch overlaps the host bookkeeping with device compute; the stage
-decoupling of the reference survives as the ordering
-    track -> insert/fuse/cull -> local BA -> place recognition -> pose graph
-per keyframe event rather than as OS threads.
+immutable pytree and the ENTIRE per-frame pipeline — feature extraction,
+the init/track/relocalize status switch, the keyframe event (insert + fuse
++ cull + local BA) and BoW loop detection — is ONE jitted, buffer-donating
+device function (`_fused_frame_step`).  The host never blocks per frame:
+it async-dispatches a chunk of frames and reads back one packed stats
+matrix per chunk.  Over the remote-TPU tunnel a per-frame readback costs
+~150 ms RTT while an async dispatch costs ~1.6 ms, so chunking is the
+difference between ~6 fps and wire-speed tracking.
+
+Rare, host-mediated events (one-time vocabulary training, loop-closure
+verification + pose-graph correction) are triggered from the drained chunk
+stats — the same asynchronous, delayed semantics as the reference's
+loop-closing worker thread (§3.4).
 """
 
 from __future__ import annotations
 
+import functools
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax
@@ -22,7 +29,6 @@ import jax.numpy as jnp
 
 from boslam_tpu.config import SlamConfig
 from boslam_tpu.features import extract_features
-from boslam_tpu.features.frontend import rgb_to_gray
 from boslam_tpu.geometry import se3
 from boslam_tpu.loopclosure import (
     compute_bow, detect_loop, empty_loop_state, train_vocab, verify_loop,
@@ -38,64 +44,173 @@ from boslam_tpu.tracking.tracker import ST_LOST, ST_OK, ST_UNINIT
 
 VOCAB_TRAIN_AT_KF = 5  # train the online vocabulary once this many KFs exist
 
-import functools
+# Packed per-frame output row (f32[OUT_DIM]) — the ONLY device->host data.
+O_POSE0 = 0          # [0:7] pose T_wc (w x y z tx ty tz)
+O_STATUS = 7         # track status AFTER the frame
+O_NINL = 8           # tracking inliers
+O_NMATCH = 9         # pre-BA matches
+O_NVIS = 10          # map points predicted visible
+O_KF = 11            # 1.0 if a keyframe was inserted this frame
+O_KFID = 12          # inserted keyframe id (-1)
+O_BA0 = 13           # local BA cost before
+O_BA1 = 14           # local BA cost after
+O_BAE = 15           # local BA edge count
+O_LCAND = 16         # loop candidate keyframe id (-1)
+O_LSCORE = 17        # loop BoW score
+O_LCONS = 18         # 1.0 if temporal consistency passed
+O_LOST = 19          # 1.0 if tracking was lost this frame
+O_RELOC = 20         # 0 none / 1 reloc attempted+failed / 2 attempted+ok
+O_NKF = 21           # keyframe count after the frame
+OUT_DIM = 22
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _frame_megafn(cfg: SlamConfig, gray, depth, map_state, track_state):
-    """One fused per-frame dispatch: extract + track + stat update + pose
-    inverse.  Module-level with cfg static so the compiled executable is
-    shared across SlamSystem instances (a per-instance closure would
-    recompile the whole graph per instance — ~30 s on the remote TPU)."""
+@functools.partial(
+    jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4, 5)
+)
+def _fused_frame_step(cfg: SlamConfig, input_mode: str, map_state,
+                      loop_state, track, key, img, depth_u16):
+    """Process one RGBD frame fully on device.
+
+    Returns (map', loop', track', key', row[OUT_DIM] f32).  All
+    data-dependent control flow (status switch, keyframe decision, loop
+    detection) is lax.switch / lax.cond — the host sees only the packed
+    row (SURVEY.md §7.0: decisions come back as scalars, compute stays
+    masked on device).
+
+    Frames arrive in their compact wire format — u8 RGB (or u8 gray) and
+    u16 depth at the TUM depth_factor encoding — and are converted on
+    device: the H2D hop over the remote-TPU tunnel is bandwidth-bound
+    (f32 pair 7.2 ms/frame vs 2.1 ms for u8 RGB + u16), and u8 gray /
+    u16 depth is exactly what the reference's cv2 pipeline consumes.
+    """
+    if input_mode == "rgb":                    # [H, W, 3] u8 -> BT.601 gray
+        w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+        gray = img.astype(jnp.float32) @ w
+    else:                                      # [H, W] u8 gray
+        gray = img.astype(jnp.float32)
+    depth = depth_u16.astype(jnp.float32) * (1.0 / cfg.camera.depth_factor)
     feats = extract_features(gray, depth, cfg)
-    new_track, out = track_frame(cfg, map_state, track_state, feats)
-    new_map = map_ops.update_track_stats(
-        cfg, map_state, out.visible, out.match_pt, out.match_ok
-    )
-    return feats, new_track, new_map, out, se3.pose_inv(new_track.pose_cw)
+    key, sub = jax.random.split(key)
+    n = cfg.orb.n_features
 
+    def base_row(tr):
+        return (
+            jnp.zeros((OUT_DIM,), jnp.float32)
+            .at[O_KFID].set(-1.0)
+            .at[O_LCAND].set(-1.0)
+            .at[O_STATUS].set(tr.status.astype(jnp.float32))
+        )
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _keyframe_megafn(cfg: SlamConfig, map_state, feats, pose_cw, match_pt,
-                     match_ok, frame_idx):
-    """Fused keyframe event: insert + fuse + cull points + local BA + cull
-    one keyframe — one device dispatch, one packed stats readback."""
-    st = map_ops.insert_keyframe(
-        cfg, map_state, feats, pose_cw, match_pt, match_ok, frame_idx
-    )
-    kf_id = st.n_kf - 1
-    st = map_ops.fuse_new_keyframe(cfg, st)
-    st = map_ops.cull_points(cfg, st, update_covis=False)
-    st, ba_stats = local_bundle_adjustment(cfg, st, kf_id)
-    st = map_ops.cull_one_keyframe(cfg, st)
-    stats = jnp.stack(
-        [
-            kf_id.astype(jnp.float32),
-            ba_stats.cost0,
-            ba_stats.cost1,
-            ba_stats.n_edges.astype(jnp.float32),
-        ]
-    )
-    return st, st.kf_pose[kf_id], stats
+    # ---- branch 0: first frame — init map from RGBD depth (§3.2) -------
+    def init_branch(ms, ls, tr):
+        mp = jnp.full((n,), -1, jnp.int32)
+        ok = jnp.zeros((n,), bool)
+        ms = map_ops.insert_keyframe(
+            cfg, ms, feats, se3.pose_identity(), mp, ok, tr.frame_idx
+        )
+        tr = tr._replace(
+            status=jnp.asarray(ST_OK, jnp.int32), frame_idx=tr.frame_idx + 1
+        )
+        row = base_row(tr).at[O_KF].set(1.0).at[O_KFID].set(0.0)
+        return ms, ls, tr, row
 
+    # ---- branch 2: lost — global relocalization (§3.2 lost path) -------
+    def lost_branch(ms, ls, tr):
+        tr, good, n_inl = relocalize(cfg, ms, tr, feats, sub)
+        row = (
+            base_row(tr)
+            .at[O_NINL].set(n_inl.astype(jnp.float32))
+            .at[O_RELOC].set(jnp.where(good, 2.0, 1.0))
+        )
+        return ms, ls, tr, row
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _bow_detect_megafn(cfg: SlamConfig, loop_state, map_state, kf_id):
-    """Fused BoW insert + loop detection; packed scalar verdict."""
-    loop_state = compute_bow(cfg, loop_state, map_state, kf_id)
-    loop_state, det = detect_loop(cfg, loop_state, map_state, kf_id)
-    packed = jnp.stack(
-        [det.candidate.astype(jnp.float32), det.score,
-         det.consistent.astype(jnp.float32)]
+    # ---- branch 1: nominal tracking + conditional keyframe event -------
+    def ok_branch(ms, ls, tr):
+        tr, out = track_frame(cfg, ms, tr, feats)
+        ms = map_ops.update_track_stats(
+            cfg, ms, out.visible, out.match_pt, out.match_ok
+        )
+        can_kf = (
+            out.need_kf & ~out.lost & (ms.n_kf < cfg.map.max_keyframes)
+        )
+
+        def kf_event(ms, ls, tr):
+            """Local-mapping + place-recognition work for a new keyframe
+            (reference §3.3/§3.4, fused into the frame step)."""
+            st = map_ops.insert_keyframe(
+                cfg, ms, feats, out.pose_cw, out.match_pt, out.match_ok,
+                tr.frame_idx,
+            )
+            kf_id = st.n_kf - 1
+            st = map_ops.fuse_new_keyframe(cfg, st)
+            st = map_ops.cull_points(cfg, st, update_covis=False)
+            st, ba = local_bundle_adjustment(cfg, st, kf_id)
+            st = map_ops.cull_one_keyframe(cfg, st)
+            ls = compute_bow(cfg, ls, st, kf_id)
+            ls, det = detect_loop(cfg, ls, st, kf_id)
+            tr = tr._replace(
+                last_kf=kf_id,
+                n_since_kf=jnp.zeros((), jnp.int32),
+                pose_cw=st.kf_pose[kf_id],
+            )
+            kf_row = jnp.zeros((8,), jnp.float32).at[0].set(1.0)
+            kf_row = (
+                kf_row.at[1].set(kf_id.astype(jnp.float32))
+                .at[2].set(ba.cost0)
+                .at[3].set(ba.cost1)
+                .at[4].set(ba.n_edges.astype(jnp.float32))
+                .at[5].set(det.candidate.astype(jnp.float32))
+                .at[6].set(det.score)
+                .at[7].set(det.consistent.astype(jnp.float32))
+            )
+            return st, ls, tr, kf_row
+
+        def no_kf(ms, ls, tr):
+            kf_row = jnp.zeros((8,), jnp.float32).at[1].set(-1.0).at[5].set(-1.0)
+            return ms, ls, tr, kf_row
+
+        ms, ls, tr, kf_row = jax.lax.cond(can_kf, kf_event, no_kf, ms, ls, tr)
+        row = (
+            base_row(tr)
+            .at[O_NINL].set(out.n_inliers.astype(jnp.float32))
+            .at[O_NMATCH].set(out.n_matches.astype(jnp.float32))
+            .at[O_NVIS].set(out.n_visible.astype(jnp.float32))
+            .at[O_LOST].set(out.lost.astype(jnp.float32))
+            .at[O_KF].set(kf_row[0])
+            .at[O_KFID].set(kf_row[1])
+            .at[O_BA0].set(kf_row[2])
+            .at[O_BA1].set(kf_row[3])
+            .at[O_BAE].set(kf_row[4])
+            .at[O_LCAND].set(kf_row[5])
+            .at[O_LSCORE].set(kf_row[6])
+            .at[O_LCONS].set(kf_row[7])
+        )
+        return ms, ls, tr, row
+
+    map_state, loop_state, track, row = jax.lax.switch(
+        track.status, [init_branch, ok_branch, lost_branch],
+        map_state, loop_state, track,
     )
-    return loop_state, packed
+    pose_twc = se3.pose_inv(track.pose_cw)
+    row = (
+        jax.lax.dynamic_update_slice(row, pose_twc, (O_POSE0,))
+        .at[O_NKF].set(map_state.n_kf.astype(jnp.float32))
+    )
+    return map_state, loop_state, track, key, row
 
 
 class SlamSystem:
-    """Sequential RGBD SLAM engine over one camera stream."""
+    """Sequential RGBD SLAM engine over one camera stream.
 
-    def __init__(self, cfg: SlamConfig, seed: int = 0):
+    ``feed()`` async-dispatches a frame; ``flush()`` drains the packed
+    per-frame stats in one readback and runs host-mediated events (vocab
+    training, loop verification).  ``process_frame()`` is the synchronous
+    compatibility wrapper (feed + flush every frame).
+    """
+
+    def __init__(self, cfg: SlamConfig, seed: int = 0, chunk: int = 16):
         self.cfg = cfg
+        self.chunk = max(1, int(chunk))
         self.map = empty_map(cfg)
         self.loop = empty_loop_state(cfg)
         self.track = init_track_state()
@@ -104,132 +219,132 @@ class SlamSystem:
         self.poses_twc: List[np.ndarray] = []
         self.metrics: List[dict] = []
         self.n_loops_closed = 0
+        self._vocab_ready_host = False
+        self._pending_rows: List[jnp.ndarray] = []
+        self._pending_ts: List[float] = []
+        self._pending_t0: List[float] = []
 
+    # ------------------------------------------------------------------
+    def feed(self, ts: float, rgb: np.ndarray, depth: np.ndarray) -> None:
+        """Async-dispatch one RGBD frame; no device synchronization.
+
+        ``rgb`` may be [H, W, 3] u8 RGB or an [H, W] grayscale image;
+        ``depth`` may be f32 metres or raw u16 at the camera depth_factor.
+        Conversion to the engine's f32 working format happens on device —
+        the host only quantizes (cheap casts) to the compact wire format.
+        """
+        t0 = time.perf_counter()
+        if rgb.ndim == 3:
+            mode = "rgb"
+            img = jnp.asarray(np.ascontiguousarray(rgb, dtype=np.uint8))
+        else:
+            mode = "gray"
+            img = jnp.asarray(
+                rgb if rgb.dtype == np.uint8 else
+                np.clip(rgb, 0, 255).astype(np.uint8)
+            )
+        if depth.dtype == np.uint16:
+            d16 = jnp.asarray(depth)
+        else:
+            d16 = jnp.asarray(
+                np.clip(
+                    depth.astype(np.float32) * self.cfg.camera.depth_factor,
+                    0, 65535,
+                ).astype(np.uint16)
+            )
+        self.map, self.loop, self.track, self.key, row = _fused_frame_step(
+            self.cfg, mode, self.map, self.loop, self.track, self.key,
+            img, d16,
+        )
+        self._pending_rows.append(row)
+        self._pending_ts.append(ts)
+        self._pending_t0.append(t0)
+        if len(self._pending_rows) >= self.chunk:
+            self.flush()
+
+    # ------------------------------------------------------------------
+    def flush(self) -> None:
+        """Drain pending frames: ONE packed readback, then host events."""
+        if not self._pending_rows:
+            return
+        rows = np.asarray(jax.device_get(jnp.stack(self._pending_rows)))
+        ts_list, t0_list = self._pending_ts, self._pending_t0
+        self._pending_rows, self._pending_ts, self._pending_t0 = [], [], []
+        t_drain = time.perf_counter()
+
+        loop_request = None  # (kf_id, cand) — at most one closure per drain
+        for ts, t0, r in zip(ts_list, t0_list, rows):
+            self.timestamps.append(ts)
+            self.poses_twc.append(r[O_POSE0:O_POSE0 + 7].copy())
+            rec = {
+                "ts": ts,
+                "status": int(r[O_STATUS]),
+                "n_inliers": int(r[O_NINL]),
+                "n_matches": int(r[O_NMATCH]),
+                "n_visible": int(r[O_NVIS]),
+                "lost": bool(r[O_LOST] > 0.5),
+                "dt_ms": (t_drain - t0) * 1e3,
+            }
+            if r[O_RELOC] > 0.5:
+                rec["event"] = "relocalize"
+                rec["reloc_ok"] = bool(r[O_RELOC] > 1.5)
+            elif r[O_LOST] > 0.5:
+                rec["event"] = "lost"
+            elif r[O_KF] > 0.5:
+                kf_id = int(r[O_KFID])
+                rec["event"] = "init" if kf_id == 0 else "keyframe"
+                rec.update(
+                    kf_id=kf_id,
+                    ba_cost0=float(r[O_BA0]),
+                    ba_cost1=float(r[O_BA1]),
+                    ba_edges=int(r[O_BAE]),
+                )
+                if r[O_LCAND] >= 0:
+                    rec["loop_candidate"] = int(r[O_LCAND])
+                    rec["loop_score"] = float(r[O_LSCORE])
+                if r[O_LCONS] > 0.5 and loop_request is None:
+                    loop_request = (kf_id, int(r[O_LCAND]))
+            self.metrics.append(rec)
+
+        # --- host-mediated events (rare; reference's async workers) ----
+        n_kf = int(rows[-1][O_NKF])
+        if not self._vocab_ready_host and n_kf >= VOCAB_TRAIN_AT_KF:
+            self.loop = train_vocab(self.cfg, self.loop, self.map)
+            self._vocab_ready_host = True
+        if loop_request is not None:
+            self._try_close_loop(*loop_request)
 
     # ------------------------------------------------------------------
     def process_frame(
         self, ts: float, rgb: np.ndarray, depth: np.ndarray
     ) -> np.ndarray:
-        """Feed one RGBD frame; returns the current pose T_wc [7] (numpy)."""
-        t0 = time.perf_counter()
-        cfg = self.cfg
-        status = int(self.track.status)
-        rec = {"ts": ts, "status": status}
-        gray = jnp.asarray(rgb_to_gray(rgb))
-        depth_d = jnp.asarray(depth)
-
-        if status == ST_UNINIT:
-            feats = extract_features(gray, depth_d, cfg)
-            self._initialize(feats)
-            rec.update(event="init", n_inliers=0)
-            pose_twc = np.asarray(se3.pose_inv(self.track.pose_cw))
-        elif status == ST_LOST:
-            feats = extract_features(gray, depth_d, cfg)
-            self.key, k = jax.random.split(self.key)
-            self.track, ok, n_inl = relocalize(cfg, self.map, self.track, feats, k)
-            rec.update(event="relocalize", reloc_ok=bool(ok), n_inliers=int(n_inl))
-            pose_twc = np.asarray(se3.pose_inv(self.track.pose_cw))
-        else:
-            feats, self.track, self.map, out, pose_twc_dev = _frame_megafn(
-                cfg, gray, depth_d, self.map, self.track
-            )
-            # ONE packed readback for all host decisions + the pose.
-            scalars, pose_twc = jax.device_get((out.scalars, pose_twc_dev))
-            n_inl, n_match, n_vis, need_kf, lost = scalars
-            rec.update(
-                n_inliers=int(n_inl),
-                n_matches=int(n_match),
-                n_visible=int(n_vis),
-                lost=bool(lost > 0.5),
-            )
-            if lost > 0.5:
-                rec["event"] = "lost"
-            elif need_kf > 0.5 and len(self._kf_ids()) < cfg.map.max_keyframes:
-                self._keyframe_pipeline(feats, out, rec)
-                pose_twc = np.asarray(se3.pose_inv(self.track.pose_cw))
-
-        self.timestamps.append(ts)
-        self.poses_twc.append(np.asarray(pose_twc))
-        rec["dt_ms"] = (time.perf_counter() - t0) * 1e3
-        self.metrics.append(rec)
-        return np.asarray(pose_twc)
-
-    def _kf_ids(self):
-        if not hasattr(self, "_n_kf_host"):
-            self._n_kf_host = int(self.map.n_kf)
-        return range(self._n_kf_host)
+        """Synchronous wrapper: feed one frame, flush, return T_wc [7]."""
+        self.feed(ts, rgb, depth)
+        self.flush()
+        return self.poses_twc[-1]
 
     # ------------------------------------------------------------------
-    def _initialize(self, feats):
-        """Map init from the first RGBD frame: every depth-backed keypoint
-        becomes a landmark (reference init_from_rgbd, §3.2)."""
-        n = self.cfg.orb.n_features
-        mp = jnp.full((n,), -1, jnp.int32)
-        ok = jnp.zeros((n,), bool)
-        self.map = map_ops.insert_keyframe(
-            self.cfg, self.map, feats, se3.pose_identity(), mp, ok, 0
-        )
-        self._n_kf_host = 1
-        self.track = self.track._replace(
-            status=jnp.asarray(ST_OK, jnp.int32),
-            frame_idx=self.track.frame_idx + 1,
-        )
-
-    # ------------------------------------------------------------------
-    def _keyframe_pipeline(self, feats, out, rec):
-        """Local-mapping + loop-closing work triggered by a new keyframe
-        (reference §3.3 / §3.4, sequenced instead of threaded)."""
-        cfg = self.cfg
-        self.map, kf_pose, kf_stats = _keyframe_megafn(
-            cfg, self.map, feats, out.pose_cw, out.match_pt, out.match_ok,
-            self.track.frame_idx,
-        )
-        kf_idf, ba_cost0, ba_cost1, ba_edges = jax.device_get(kf_stats)
-        kf_id = int(kf_idf)
-        self._n_kf_host = kf_id + 1
-        self.track = self.track._replace(
-            last_kf=jnp.asarray(kf_id, jnp.int32),
-            n_since_kf=jnp.zeros((), jnp.int32),
-            pose_cw=kf_pose,
-        )
-        rec.update(
-            event="keyframe",
-            kf_id=kf_id,
-            ba_cost0=float(ba_cost0),
-            ba_cost1=float(ba_cost1),
-            ba_edges=int(ba_edges),
-        )
-
-        # --- place recognition -----------------------------------------
-        if not bool(self.loop.vocab_ready):
-            if kf_id + 1 >= VOCAB_TRAIN_AT_KF:
-                self.loop = train_vocab(cfg, self.loop, self.map)
+    def _try_close_loop(self, kf_id: int, cand: int) -> None:
+        """Geometric verification + loop correction (reference §3.4)."""
+        if cand < 0:
             return
-        self.loop, det_packed = _bow_detect_megafn(
-            cfg, self.loop, self.map, jnp.asarray(kf_id)
-        )
-        candf, score, consistent = jax.device_get(det_packed)
-        if consistent < 0.5:
-            return
-        cand = int(candf)
         self.key, k = jax.random.split(self.key)
         ok, t_rel, n_inl = verify_loop(
-            cfg, self.map, jnp.asarray(kf_id), jnp.asarray(cand), k
+            self.cfg, self.map, jnp.asarray(kf_id), jnp.asarray(cand), k
         )
-        rec.update(loop_candidate=cand, loop_inliers=int(n_inl))
+        self.metrics[-1]["loop_inliers"] = int(n_inl)
         if not bool(ok):
             return
-        self._close_loop(kf_id, cand, t_rel, rec)
+        self._close_loop(kf_id, cand, t_rel)
 
-    # ------------------------------------------------------------------
-    def _close_loop(self, kf_id: int, cand: int, t_rel, rec):
-        """Correct the loop (reference correct_loop + pose-graph, §3.4)."""
+    def _close_loop(self, kf_id: int, cand: int, t_rel) -> None:
+        """Correct the loop: pose-graph optimization over the essential
+        graph + the new loop edge (reference correct_loop, §3.4)."""
         cfg = self.cfg
-        # Essential-graph measurements from pre-correction poses.
         edges = build_essential_edges(cfg, self.map)
         self.map = add_loop_edge(
-            self.map, jnp.asarray(kf_id, jnp.int32), jnp.asarray(cand, jnp.int32),
-            t_rel,
+            self.map, jnp.asarray(kf_id, jnp.int32),
+            jnp.asarray(cand, jnp.int32), t_rel,
         )
         edges = edges._replace(
             i=jnp.concatenate([edges.i, jnp.asarray([kf_id], jnp.int32)]),
@@ -238,11 +353,9 @@ class SlamSystem:
             weight=jnp.concatenate([edges.weight, jnp.asarray([200.0])]),
             valid=jnp.concatenate([edges.valid, jnp.asarray([True])]),
         )
-        # Rigidly pull the current keyframe onto the loop constraint as init.
         corrected = se3.pose_compose(t_rel, self.map.kf_pose[cand])
-        old_poses = self.map.kf_pose
-        init = old_poses.at[kf_id].set(corrected)
-        K = old_poses.shape[0]
+        init = self.map.kf_pose.at[kf_id].set(corrected)
+        K = init.shape[0]
         fixed = jnp.zeros(K, bool).at[0].set(True).at[cand].set(True)
         new_poses = optimize_pose_graph(
             cfg, init, self.map.kf_valid, edges, fixed
@@ -252,10 +365,11 @@ class SlamSystem:
             pose_cw=self.map.kf_pose[kf_id], velocity=se3.pose_identity()
         )
         self.n_loops_closed += 1
-        rec["event"] = "loop_closed"
+        self.metrics[-1]["event"] = "loop_closed"
 
     # ------------------------------------------------------------------
     def trajectory(self):
+        self.flush()
         return np.asarray(self.timestamps), np.stack(self.poses_twc)
 
     @property
@@ -272,15 +386,17 @@ def run_sequence(
     frames,
     seed: int = 0,
     progress: bool = False,
+    chunk: int = 16,
 ) -> SlamSystem:
     """Run the engine over an iterable of (ts, rgb, depth)."""
-    slam = SlamSystem(cfg, seed=seed)
+    slam = SlamSystem(cfg, seed=seed, chunk=chunk)
     for i, (ts, rgb, depth) in enumerate(frames):
-        slam.process_frame(ts, rgb, depth)
-        if progress and i % 25 == 0:
+        slam.feed(ts, rgb, depth)
+        if progress and i % 25 == 0 and slam.metrics:
             m = slam.metrics[-1]
             print(
                 f"[{i}] kf={slam.n_keyframes} pts={slam.n_points} "
                 f"inl={m.get('n_inliers', 0)} {m.get('event', '')}"
             )
+    slam.flush()
     return slam

@@ -60,6 +60,7 @@ def restore(path: str, slam) -> None:
         **{k: jnp.asarray(v) for k, v in state["track"].items()}
     )
     slam.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+    slam._vocab_ready_host = bool(np.asarray(state["loop"]["vocab_ready"]))
     slam.timestamps = list(np.asarray(state["timestamps"]))
     slam.poses_twc = [p for p in np.asarray(state["poses_twc"])]
     slam.n_loops_closed = int(state["n_loops_closed"])
