@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--warmup-frames", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    ap.add_argument(
+        "--depth-stride", type=int, default=None,
+        help="override camera.depth_wire_stride (wire-format A/B testing)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -45,6 +49,14 @@ def main() -> None:
     from boslam_tpu.slam import SlamSystem
 
     cfg = SlamConfig()
+    if args.depth_stride is not None:
+        import dataclasses
+
+        cfg = cfg.replace(
+            camera=dataclasses.replace(
+                cfg.camera, depth_wire_stride=args.depth_stride
+            )
+        )
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
 

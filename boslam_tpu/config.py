@@ -31,6 +31,18 @@ class CameraConfig:
     # Valid depth range in metres.
     depth_min: float = 0.1
     depth_max: float = 8.0
+    # Host->device depth wire subsampling stride.  Depth is only ever
+    # sampled at keypoint locations (<= n_features values per frame), but
+    # the H2D link is byte-serialized with compute, so shipping the full
+    # 614 KB u16 map costs ~4 ms/frame over a remote-device tunnel.
+    # stride=2 ships 1/4 of the bytes; lookups use the nearest retained
+    # sample (<= stride-1 px off, comparable to RGBD sensor depth noise).
+    depth_wire_stride: int = 1
+
+    @property
+    def depth_wire_shape(self) -> tuple:
+        s = self.depth_wire_stride
+        return (-(-self.height // s), -(-self.width // s))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,10 +113,17 @@ class LocalBaConfig:
 
     n_opt_kf: int = 8              # optimized camera poses (covisible window)
     n_fixed_kf: int = 8            # fixed second-ring poses
-    max_local_points: int = 4096   # compacted active landmark capacity
-    lm_iters: int = 8
+    max_local_points: int = 2048   # compacted active landmark capacity
+    lm_iters: int = 6
     lm_lambda0: float = 1e-4
     huber_delta: float = 2.4477
+    # Damping-step policy.  False (default) = damped Gauss-Newton: fixed
+    # geometric lambda schedule, every step accepted — one linearization +
+    # one Schur solve per iteration.  True = classic LM accept/reject,
+    # which adds a trial-point residual pass per iteration (the reference's
+    # g2o behavior); use for adversarial geometry.
+    lm_accept_reject: bool = False
+    lm_lambda_decay: float = 0.5   # GN-mode lambda schedule: lam *= decay
 
 
 @dataclasses.dataclass(frozen=True)

@@ -230,9 +230,12 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
 
     uv = jnp.concatenate(uv_all)
     valid = jnp.concatenate(val_all)
-    # Depth lookup at level-0 coords (nearest pixel).
-    ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
-    vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+    # Depth lookup at level-0 coords (nearest retained sample; the depth
+    # map may arrive subsampled by cam.depth_wire_stride, see config).
+    s = cam.depth_wire_stride
+    hs, ws = cam.depth_wire_shape
+    ui = jnp.clip(jnp.round(uv[:, 0] / s).astype(jnp.int32), 0, ws - 1)
+    vi = jnp.clip(jnp.round(uv[:, 1] / s).astype(jnp.int32), 0, hs - 1)
     z = depth[vi, ui]
     has_depth = valid & cam_mod.valid_depth(cam, z)
     z = jnp.where(has_depth, z, 0.0)

@@ -248,8 +248,11 @@ class SlamSystem:
                 rgb if rgb.dtype == np.uint8 else
                 np.clip(rgb, 0, 255).astype(np.uint8)
             )
+        s = self.cfg.camera.depth_wire_stride
+        if s > 1:
+            depth = depth[::s, ::s]
         if depth.dtype == np.uint16:
-            d16 = jnp.asarray(depth)
+            d16 = jnp.asarray(np.ascontiguousarray(depth))
         else:
             d16 = jnp.asarray(
                 np.clip(

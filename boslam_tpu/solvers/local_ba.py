@@ -9,9 +9,12 @@ substitute, inside an accept/reject LM damping loop.
 TPU-first layout (SURVEY.md §7.1 step 5):
 - static window: N_OPT optimized + N_FIX fixed cameras, compacted active
   landmark set of MAX_LOCAL points (jnp.nonzero with static size);
-- per-block Hessians by segment_sum over the static edge list;
-- camera-point coupling A[p, c] lives as one dense [L, N_OPT, 6, 3] tensor,
-  so the Schur reduction  S = H_cc - sum_p A H_pp^-1 A^T  is two einsums on
+- the edge set is exactly one edge per (window camera, local point), so it
+  lives as a dense [C, L] grid (DenseEdges): every normal-equation block —
+  Hcc, Hpp, bc, bp and the camera-point coupling A [L, N_OPT, 6, 3] — is a
+  plain einsum reduction, with NO scatters or segment_sums inside the LM
+  loop (one inversion scatter at build time);
+- the Schur reduction  S = H_cc - sum_p A H_pp^-1 A^T  is two einsums on
   the MXU; the reduced system is a dense (N_OPT*6)^2 Cholesky.
 """
 
@@ -24,11 +27,11 @@ import jax
 import jax.numpy as jnp
 
 from boslam_tpu.config import SlamConfig
+from boslam_tpu.geometry import camera as cam_mod
 from boslam_tpu.geometry import se3
-from boslam_tpu.mapping.map_state import MapState, recompute_covis
-from boslam_tpu.solvers import ba_core
-from boslam_tpu.solvers.ba_core import BaEdges
+from boslam_tpu.mapping.map_state import MapState
 from boslam_tpu.solvers import robust as robust_mod
+from boslam_tpu.solvers.ba_core import inv3x3
 
 
 class LocalBaStats(NamedTuple):
@@ -67,8 +70,22 @@ def _select_window(cfg: SlamConfig, state: MapState, center):
     return opt_ids, opt_mask, opt_cam_mask, fix_ids, fix_mask
 
 
+class DenseEdges(NamedTuple):
+    """Dense [C, L] edge grid: one (possible) edge per window camera x
+    local point.  Every edge of the sparse problem IS such a pair, so this
+    layout is exact — and it removes all scatters/segment-sums from the LM
+    iteration: Hpp/bc/bp/A become plain einsum reductions over the grid.
+    """
+
+    uv: jnp.ndarray        # [C, L, 2] measured pixels
+    depth: jnp.ndarray     # [C, L] measured keypoint depth (0 = none)
+    has_depth: jnp.ndarray # [C, L] bool
+    info: jnp.ndarray      # [C, L] per-octave information weight
+    valid: jnp.ndarray     # [C, L] bool
+
+
 def _build_problem(cfg: SlamConfig, state: MapState, center):
-    """Compacted cameras, points, and the static edge list."""
+    """Compacted cameras, points, and the dense [C, L] edge grid."""
     L = cfg.local_ba.max_local_points
     P = state.pt_xyz.shape[0]
     opt_ids, opt_mask, opt_cam_mask, fix_ids, fix_mask = _select_window(
@@ -90,72 +107,120 @@ def _build_problem(cfg: SlamConfig, state: MapState, center):
     )
     pts = state.pt_xyz[jnp.clip(local_ids, 0, P - 1)]       # [L, 3]
 
-    # Edges: every (window camera, keypoint slot) whose point is active.
+    # Invert each camera's observation row into pt_slot[c, l] = keypoint
+    # slot of local point l in camera c (-1 if unobserved): ONE scatter at
+    # build time; the LM loop then runs scatter-free.
     C, N = cam_ids.shape[0], state.kf_obs_pt.shape[1]
     obs = state.kf_obs_pt[cam_ids]                          # [C, N]
     pl = inv[jnp.clip(obs, 0, P)]                           # [C, N] local pt
-    valid = (
+    ok = (
         (obs >= 0)
         & (pl >= 0)
         & cam_mask[:, None]
         & state.kf_kp_valid[cam_ids]
     )
-    cam_idx = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N))
-    depth = state.kf_depth[cam_ids]
-    edges = BaEdges(
-        cam=cam_idx.reshape(-1).astype(jnp.int32),
-        pt=jnp.clip(pl.reshape(-1), 0, L - 1).astype(jnp.int32),
-        uv=state.kf_uv[cam_ids].reshape(-1, 2),
-        depth=depth.reshape(-1),
-        has_depth=(depth.reshape(-1) > 0) & valid.reshape(-1),
-        info=robust_mod.octave_inv_sigma2(
-            state.kf_octave[cam_ids].reshape(-1), cfg.orb.scale_factor
-        ),
-        valid=valid.reshape(-1),
+    tgt = jnp.where(ok, pl, L)
+    pt_slot = jnp.full((C, L + 1), -1, jnp.int32).at[
+        jnp.broadcast_to(jnp.arange(C)[:, None], (C, N)), tgt
+    ].set(
+        jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (C, N)),
+        mode="drop",
+    )[:, :L]                                                # [C, L]
+    has_e = (pt_slot >= 0) & slot_used[None, :]
+    sl = jnp.clip(pt_slot, 0, N - 1)[..., None]             # [C, L, 1]
+    uv = jnp.take_along_axis(state.kf_uv[cam_ids], sl, axis=1)
+    depth = jnp.take_along_axis(state.kf_depth[cam_ids], sl[..., 0], axis=1)
+    octave = jnp.take_along_axis(state.kf_octave[cam_ids], sl[..., 0], axis=1)
+    edges = DenseEdges(
+        uv=uv,
+        depth=depth,
+        has_depth=(depth > 0) & has_e,
+        info=robust_mod.octave_inv_sigma2(octave, cfg.orb.scale_factor),
+        valid=has_e,
     )
     return (
         cam_ids, cam_mask, opt_cam_mask, poses, local_ids, slot_used, pts, edges
     )
 
 
-def _lm_solve_step(cfg: SlamConfig, poses, pts, edges, opt_cam_mask, lam):
-    """One damped Schur-LM solve: returns (dxi [C?, 6] for opt cams,
-    dpt [L, 3])."""
+def _dense_residuals(cfg: SlamConfig, poses, pts, edges: DenseEdges):
+    """Residuals r [C, L, 3] + Jacobians (J_cam [C, L, 3, 6],
+    J_pt [C, L, 3, 3]) on the dense grid; poses broadcast per camera row
+    (no per-edge pose gather)."""
+    cam = cfg.camera
+    w_d = cfg.tracker.depth_weight
+    xc = se3.pose_apply(poses[:, None, :], pts[None, :, :])   # [C, L, 3]
+    uv_pred = cam_mod.project(cam, xc)
+    r_uv = uv_pred - edges.uv
+    r_z = jnp.where(edges.has_depth, w_d * (xc[..., 2] - edges.depth), 0.0)
+    r = jnp.concatenate([r_uv, r_z[..., None]], axis=-1)      # [C, L, 3]
+
+    eye = jnp.broadcast_to(jnp.eye(3), xc.shape[:-1] + (3, 3))
+    dxc_dxi = jnp.concatenate([-se3.hat(xc), eye], axis=-1)   # [C, L, 3, 6]
+    Jp2 = cam_mod.project_jacobian(cam, xc)                   # [C, L, 2, 3]
+    R = se3.quat_to_mat(poses[:, None, :4])                   # [C, 1, 3, 3]
+    zsel = edges.has_depth[..., None, None]
+    J_cam = jnp.concatenate(
+        [Jp2 @ dxc_dxi, jnp.where(zsel, w_d * dxc_dxi[..., 2:3, :], 0.0)],
+        axis=-2,
+    )                                                         # [C, L, 3, 6]
+    J_pt = jnp.concatenate(
+        [Jp2 @ R, jnp.where(zsel, w_d * R[..., 2:3, :], 0.0)], axis=-2
+    )                                                         # [C, L, 3, 3]
+
+    bad = (xc[..., 2] <= 1e-3) | ~edges.valid
+    r = jnp.where(bad[..., None], 0.0, r)
+    J_cam = jnp.where(bad[..., None, None], 0.0, J_cam)
+    J_pt = jnp.where(bad[..., None, None], 0.0, J_pt)
+    return r, J_cam, J_pt
+
+
+def _dense_cost(cfg: SlamConfig, poses, pts, edges: DenseEdges, delta):
+    cam = cfg.camera
+    w_d = cfg.tracker.depth_weight
+    xc = se3.pose_apply(poses[:, None, :], pts[None, :, :])
+    uv_pred = cam_mod.project(cam, xc)
+    r_uv = uv_pred - edges.uv
+    r_z = jnp.where(edges.has_depth, w_d * (xc[..., 2] - edges.depth), 0.0)
+    chi2 = (jnp.sum(r_uv * r_uv, -1) + r_z * r_z) * edges.info
+    ok = edges.valid & (xc[..., 2] > 1e-3)
+    return jnp.sum(jnp.where(ok, robust_mod.huber_cost(chi2, delta), 0.0))
+
+
+def _lm_solve_step(cfg: SlamConfig, poses, pts, edges: DenseEdges,
+                   opt_cam_mask, lam):
+    """One damped Schur solve: returns (dxi [KO, 6] for opt cams, dpt [L, 3]).
+
+    All normal-equation blocks are plain einsum reductions over the dense
+    [C, L] edge grid — no scatters, no segment_sums (the layout guarantees
+    one edge per (camera, point) pair).
+    """
     KO = cfg.local_ba.n_opt_kf
     L = pts.shape[0]
     delta = cfg.local_ba.huber_delta
-    r, J_cam, J_pt = ba_core.edge_residuals(cfg, poses, pts, edges)
-    w, _ = ba_core.robust_weights(cfg, r, edges, delta)
+    r, J_cam, J_pt = _dense_residuals(cfg, poses, pts, edges)
+    chi2 = jnp.sum(r * r, axis=-1) * edges.info              # [C, L]
+    w = robust_mod.huber_weight(chi2, delta) * edges.info
+    w = jnp.where(edges.valid, w, 0.0)
+    sw = jnp.sqrt(w)[..., None]                              # [C, L, 1]
 
-    is_opt_edge = (edges.cam < KO) & opt_cam_mask[jnp.clip(edges.cam, 0, KO - 1)]
-    Jc = jnp.where(is_opt_edge[:, None, None], J_cam, 0.0)
+    cam_sel = opt_cam_mask[:KO]
+    Gc = J_cam[:KO] * (sw[:KO, :, None] * cam_sel[:, None, None, None])
+    Gp = J_pt * sw[..., None]                                # [C, L, 3, 3]
+    rw = r * sw                                              # [C, L, 3]
 
-    # Per-block terms (all [E, ...] then segment-summed).
-    wJc = w[:, None, None] * Jc
-    wJp = w[:, None, None] * J_pt
-    Hcc_e = jnp.einsum("eri,erj->eij", Jc, wJc)            # [E, 6, 6]
-    Hpp_e = jnp.einsum("eri,erj->eij", J_pt, wJp)          # [E, 3, 3]
-    Wcp_e = jnp.einsum("eri,erj->eij", Jc, wJp)            # [E, 6, 3]
-    bc_e = -jnp.einsum("eri,er->ei", Jc, w[:, None] * r)   # [E, 6]
-    bp_e = -jnp.einsum("eri,er->ei", J_pt, w[:, None] * r) # [E, 3]
-
-    seg_c = jnp.where(is_opt_edge, edges.cam, KO)
-    Hcc = jax.ops.segment_sum(Hcc_e, seg_c, num_segments=KO + 1)[:KO]
-    bc = jax.ops.segment_sum(bc_e, seg_c, num_segments=KO + 1)[:KO]
-    seg_p = jnp.where(edges.valid, edges.pt, L)
-    Hpp = jax.ops.segment_sum(Hpp_e, seg_p, num_segments=L + 1)[:L]
-    bp = jax.ops.segment_sum(bp_e, seg_p, num_segments=L + 1)[:L]
-    seg_cp = jnp.where(is_opt_edge, edges.pt * KO + edges.cam, L * KO)
-    A = jax.ops.segment_sum(
-        Wcp_e, seg_cp, num_segments=L * KO + 1
-    )[: L * KO].reshape(L, KO, 6, 3)
+    Hcc = jnp.einsum("clri,clrj->cij", Gc, Gc)               # [KO, 6, 6]
+    bc = -jnp.einsum("clri,clr->ci", Gc, rw[:KO])            # [KO, 6]
+    Hpp = jnp.einsum("clri,clrj->lij", Gp, Gp)               # [L, 3, 3]
+    bp = -jnp.einsum("clri,clr->li", Gp, rw)                 # [L, 3]
+    A = jnp.einsum("clri,clrj->lcij", Gc, Gp[:KO])           # [L, KO, 6, 3]
 
     # Marquardt damping.
     eye3 = jnp.eye(3)
     Hpp_d = Hpp + lam * (eye3 * jnp.maximum(
         jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6
     )[..., None, :] * eye3) + 1e-8 * eye3
-    Hpp_inv = ba_core.inv3x3(Hpp_d)
+    Hpp_inv = inv3x3(Hpp_d)
 
     # Schur reduction on the MXU.
     M = jnp.einsum("pkis,pst->pkit", A, Hpp_inv)            # [L, KO, 6, 3]
@@ -195,27 +260,46 @@ def local_bundle_adjustment(cfg: SlamConfig, state: MapState, center):
     (cam_ids, cam_mask, opt_cam_mask, poses, local_ids, slot_used, pts,
      edges) = _build_problem(cfg, state, center)
 
-    cost0 = ba_core.robust_cost(cfg, poses, pts, edges, lb.huber_delta)
+    cost0 = _dense_cost(cfg, poses, pts, edges, lb.huber_delta)
 
-    def lm_iter(carry, _):
-        poses, pts, lam, cost = carry
-        dxi, dpt = _lm_solve_step(cfg, poses, pts, edges, opt_cam_mask, lam)
-        new_opt = se3.retract(poses[:KO], dxi)
-        new_poses = jnp.concatenate([new_opt, poses[KO:]])
-        new_pts = pts + dpt
-        new_cost = ba_core.robust_cost(cfg, new_poses, new_pts, edges, lb.huber_delta)
-        accept = new_cost < cost
-        poses = jnp.where(accept, new_poses, poses)
-        pts = jnp.where(accept, new_pts, pts)
-        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        lam = jnp.clip(lam, 1e-9, 1e3)
-        cost = jnp.minimum(new_cost, cost)
-        return (poses, pts, lam, cost), None
+    if lb.lm_accept_reject:
+        # Classic LM: trial-point cost per iteration, accept/reject.
+        def lm_iter(carry, _):
+            poses, pts, lam, cost = carry
+            dxi, dpt = _lm_solve_step(cfg, poses, pts, edges, opt_cam_mask, lam)
+            new_opt = se3.retract(poses[:KO], dxi)
+            new_poses = jnp.concatenate([new_opt, poses[KO:]])
+            new_pts = pts + dpt
+            new_cost = _dense_cost(cfg, new_poses, new_pts, edges, lb.huber_delta)
+            accept = new_cost < cost
+            poses = jnp.where(accept, new_poses, poses)
+            pts = jnp.where(accept, new_pts, pts)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            lam = jnp.clip(lam, 1e-9, 1e3)
+            cost = jnp.minimum(new_cost, cost)
+            return (poses, pts, lam, cost), None
 
-    (poses, pts, _, cost1), _ = jax.lax.scan(
-        lm_iter, (poses, pts, jnp.asarray(lb.lm_lambda0), cost0), None,
-        length=lb.lm_iters,
-    )
+        (poses, pts, _, _), _ = jax.lax.scan(
+            lm_iter, (poses, pts, jnp.asarray(lb.lm_lambda0), cost0), None,
+            length=lb.lm_iters,
+        )
+    else:
+        # Damped GN: fixed geometric lambda schedule, every step taken —
+        # one linearization + one Schur solve per iteration, no trial pass.
+        # Huber IRLS weights keep it robust; RGBD local BA starts from a
+        # tracked pose so steps are near-Newton.
+        def gn_iter(carry, lam):
+            poses, pts = carry
+            dxi, dpt = _lm_solve_step(cfg, poses, pts, edges, opt_cam_mask, lam)
+            poses = jnp.concatenate(
+                [se3.retract(poses[:KO], dxi), poses[KO:]]
+            )
+            return (poses, pts + dpt), None
+
+        lams = lb.lm_lambda0 * (lb.lm_lambda_decay ** jnp.arange(lb.lm_iters))
+        (poses, pts), _ = jax.lax.scan(gn_iter, (poses, pts), lams)
+
+    cost1 = _dense_cost(cfg, poses, pts, edges, lb.huber_delta)
 
     # Write back optimized cameras and points.
     opt_ids = cam_ids[:KO]

@@ -10,7 +10,31 @@ from boslam_tpu.geometry import camera as cam_mod
 from boslam_tpu.geometry import se3
 from boslam_tpu.solvers import ba_core
 from boslam_tpu.solvers.ba_core import BaEdges
-from boslam_tpu.solvers.local_ba import _lm_solve_step
+from boslam_tpu.solvers.local_ba import DenseEdges, _lm_solve_step
+
+
+def to_dense(edges: BaEdges, n_cams: int, L: int) -> DenseEdges:
+    """Repack a sparse edge list into the solver's dense [C, L] grid."""
+    uv = np.zeros((n_cams, L, 2), np.float32)
+    depth = np.zeros((n_cams, L), np.float32)
+    has_d = np.zeros((n_cams, L), bool)
+    info = np.zeros((n_cams, L), np.float32)
+    valid = np.zeros((n_cams, L), bool)
+    cam = np.asarray(edges.cam); pt = np.asarray(edges.pt)
+    for e in range(cam.shape[0]):
+        if not bool(edges.valid[e]):
+            continue
+        c, p = int(cam[e]), int(pt[e])
+        uv[c, p] = np.asarray(edges.uv[e])
+        depth[c, p] = float(edges.depth[e])
+        has_d[c, p] = bool(edges.has_depth[e])
+        info[c, p] = float(edges.info[e])
+        valid[c, p] = True
+    return DenseEdges(
+        uv=jnp.asarray(uv), depth=jnp.asarray(depth),
+        has_depth=jnp.asarray(has_d), info=jnp.asarray(info),
+        valid=jnp.asarray(valid),
+    )
 
 CAM = CameraConfig(width=320, height=240, fx=130.0, fy=130.0, cx=160.0, cy=120.0)
 CFG = SlamConfig(
@@ -67,7 +91,8 @@ def test_schur_equals_dense(rng):
     pts = gt_pts + jnp.asarray(rng.normal(size=gt_pts.shape) * 0.01)
     opt_mask = jnp.array([True, True])
 
-    dxi, dpt = _lm_solve_step(CFG, poses, pts, edges, opt_mask, jnp.asarray(0.0))
+    dense = to_dense(edges, 4, CFG.local_ba.max_local_points)
+    dxi, dpt = _lm_solve_step(CFG, poses, pts, dense, opt_mask, jnp.asarray(0.0))
 
     # Dense reference in float64.
     r, J_cam, J_pt = ba_core.edge_residuals(CFG, poses, pts, edges)
@@ -117,9 +142,10 @@ def test_lm_converges_to_groundtruth(rng):
     )
     opt_mask = jnp.array([True, True])
     lam = jnp.asarray(1e-4)
+    dense = to_dense(edges, 4, CFG.local_ba.max_local_points)
     cost0 = float(ba_core.robust_cost(CFG, poses, pts, edges, CFG.local_ba.huber_delta))
     for _ in range(15):
-        dxi, dpt = _lm_solve_step(CFG, poses, pts, edges, opt_mask, lam)
+        dxi, dpt = _lm_solve_step(CFG, poses, pts, dense, opt_mask, lam)
         new_poses = jnp.concatenate([se3.retract(poses[:2], dxi), poses[2:]])
         new_pts = pts + dpt
         c_new = float(
