@@ -42,7 +42,8 @@ def detect_loop(cfg: SlamConfig, loop: LoopState, map_state, kf_id):
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.1)
     cand_mask = (
         map_state.kf_valid
-        & (jnp.arange(K) < map_state.n_kf - lc.min_gap_kf)
+        # Insertion-order gap, not slot-id gap: slots are free-list reused.
+        & (map_state.kf_seq <= map_state.kf_seq[kf_id] - lc.min_gap_kf)
         & ~neighbors
         & (jnp.arange(K) != kf_id)
         & loop.vocab_ready

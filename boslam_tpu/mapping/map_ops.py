@@ -18,17 +18,26 @@ import jax.numpy as jnp
 from boslam_tpu.config import SlamConfig
 from boslam_tpu.geometry import camera as cam_mod
 from boslam_tpu.geometry import se3
-from boslam_tpu.mapping.map_state import MapState, incidence, point_obs_count, recompute_covis
+from boslam_tpu.mapping.map_state import (
+    MapState, free_kf_slot, incidence, latest_kf_slot, point_obs_count,
+    recompute_covis,
+)
 from boslam_tpu.matching import hamming
 
 
 def _spanning_parent(state: MapState, slot) -> jnp.ndarray:
-    """Parent = most covisible existing keyframe (ORB-SLAM spanning tree)."""
+    """Parent = most covisible OLDER keyframe (ORB-SLAM spanning tree).
+
+    "Older" means inserted earlier (kf_seq), not a lower slot id — culled
+    slots are reused, so slot order is not insertion order.
+    """
     row = state.covis[slot] * state.kf_valid
-    older = jnp.arange(row.shape[0]) < slot
+    older = (state.kf_seq >= 0) & (state.kf_seq < state.kf_seq[slot])
     row = jnp.where(older, row, -1)
     parent = jnp.argmax(row)
-    return jnp.where((slot > 0) & (row[parent] > 0), parent, -1).astype(jnp.int32)
+    return jnp.where(
+        (state.kf_seq[slot] > 0) & (row[parent] > 0), parent, -1
+    ).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -47,10 +56,15 @@ def insert_keyframe(
     no triangulation, reference §3.2 init_from_rgbd / §3.3 create new
     MapPoints), allocated from the free list; when the pool is full the
     creation is dropped (overflow policy, SURVEY.md §7.2).
+
+    Returns (state, slot): keyframe slots are free-list allocated (culled
+    slots are reused — a long sequence can insert unboundedly many keyframes
+    as long as culling keeps the live count under max_keyframes).  The caller
+    must gate insertion on a free slot existing (``~all(kf_valid)``).
     """
     N = feats.uv.shape[0]
     P = cfg.map.max_points
-    slot = state.n_kf
+    slot, _ = free_kf_slot(state)
 
     obs = jnp.where(match_ok & feats.valid & (match_pt >= 0), match_pt, -1)
 
@@ -68,7 +82,7 @@ def insert_keyframe(
         pt_desc=state.pt_desc.at[new_id].set(feats.desc, mode="drop"),
         pt_valid=state.pt_valid.at[new_id].set(True, mode="drop"),
         pt_ref_kf=state.pt_ref_kf.at[new_id].set(slot, mode="drop"),
-        pt_first_kf=state.pt_first_kf.at[new_id].set(slot, mode="drop"),
+        pt_first_kf=state.pt_first_kf.at[new_id].set(state.n_kf, mode="drop"),
         pt_n_vis=state.pt_n_vis.at[new_id].set(1, mode="drop"),
         pt_n_found=state.pt_n_found.at[new_id].set(1, mode="drop"),
     )
@@ -86,13 +100,14 @@ def insert_keyframe(
         kf_kp_valid=st.kf_kp_valid.at[slot].set(feats.valid),
         kf_obs_pt=st.kf_obs_pt.at[slot].set(obs),
         kf_frame_idx=st.kf_frame_idx.at[slot].set(frame_idx),
+        kf_seq=st.kf_seq.at[slot].set(st.n_kf),
         n_kf=st.n_kf + 1,
     )
     st = recompute_covis(st)
     st = st._replace(
         spanning_parent=st.spanning_parent.at[slot].set(_spanning_parent(st, slot))
     )
-    return st
+    return st, slot
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -157,8 +172,8 @@ def cull_one_keyframe(cfg: SlamConfig, state: MapState) -> MapState:
     frac = redundant / total
     eligible = (
         state.kf_valid
-        & (jnp.arange(K) > 0)
-        & (jnp.arange(K) != state.n_kf - 1)
+        & (state.kf_seq > 0)                      # root (seq 0) protected
+        & (jnp.arange(K) != latest_kf_slot(state))
         & (frac >= cfg.map.kf_cull_redundancy)
         & (jnp.sum(has, axis=1) > 0)
     )
@@ -175,9 +190,11 @@ def cull_one_keyframe(cfg: SlamConfig, state: MapState) -> MapState:
     return recompute_covis(st)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def fuse_new_keyframe(cfg: SlamConfig, state: MapState, n_neighbors: int = 4) -> MapState:
-    """Fuse the newest keyframe's points into its covisible neighbors.
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def fuse_new_keyframe(
+    cfg: SlamConfig, state: MapState, slot, n_neighbors: int = 4
+) -> MapState:
+    """Fuse keyframe ``slot``'s points into its covisible neighbors.
 
     Reference local_mapping "fuse duplicates into covisible neighbor KFs"
     (§3.3): for each top-covisibility neighbor, project the new keyframe's
@@ -188,7 +205,6 @@ def fuse_new_keyframe(cfg: SlamConfig, state: MapState, n_neighbors: int = 4) ->
     """
     K, N = state.kf_obs_pt.shape
     P = cfg.map.max_points
-    slot = state.n_kf - 1
     nbr_ids, nbr_w, nbr_ok = _top_neighbors(cfg, state, slot, n_neighbors)
 
     new_pts = state.kf_obs_pt[slot]  # [N] point ids of the new KF

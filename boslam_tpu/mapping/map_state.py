@@ -36,7 +36,8 @@ class MapState(NamedTuple):
     kf_kp_valid: jnp.ndarray  # [K, N] bool
     kf_obs_pt: jnp.ndarray    # [K, N] i32 observed point id, -1 = none
     kf_frame_idx: jnp.ndarray # [K] i32 source frame index
-    n_kf: jnp.ndarray         # scalar i32 next keyframe slot
+    kf_seq: jnp.ndarray       # [K] i32 insertion sequence number (-1 = never used)
+    n_kf: jnp.ndarray         # scalar i32 MONOTONIC total insertions (seq source)
     # --- map points -----------------------------------------------------
     pt_xyz: jnp.ndarray       # [P, 3] f32 world positions
     pt_desc: jnp.ndarray      # [P, 8] u32 representative descriptor
@@ -67,6 +68,7 @@ def empty_map(cfg: SlamConfig) -> MapState:
         kf_kp_valid=jnp.zeros((K, N), bool),
         kf_obs_pt=jnp.full((K, N), -1, jnp.int32),
         kf_frame_idx=jnp.zeros(K, jnp.int32),
+        kf_seq=jnp.full(K, -1, jnp.int32),
         n_kf=jnp.zeros((), jnp.int32),
         pt_xyz=jnp.zeros((P, 3)),
         pt_desc=jnp.zeros((P, 8), jnp.uint32),
@@ -81,6 +83,23 @@ def empty_map(cfg: SlamConfig) -> MapState:
         loop_rel=jnp.zeros((MAX_LOOP_EDGES, 7)).at[:, 0].set(1.0),
         n_loop_edges=jnp.zeros((), jnp.int32),
     )
+
+
+def free_kf_slot(state: MapState):
+    """(slot, has_free): first invalid keyframe slot, free-list allocation.
+
+    Slot 0 (the gauge root) is never culled, so a freed slot is always > 0 and
+    reuse cannot disturb the gauge anchor.
+    """
+    free = ~state.kf_valid
+    slot = jnp.argmax(free).astype(jnp.int32)
+    return slot, free[slot]
+
+
+def latest_kf_slot(state: MapState):
+    """Slot of the most recently inserted valid keyframe (argmax kf_seq)."""
+    seq = jnp.where(state.kf_valid, state.kf_seq, -1)
+    return jnp.argmax(seq).astype(jnp.int32)
 
 
 def incidence(state: MapState) -> jnp.ndarray:

@@ -107,7 +107,7 @@ def _fused_frame_step(cfg: SlamConfig, input_mode: str, map_state,
     def init_branch(ms, ls, tr):
         mp = jnp.full((n,), -1, jnp.int32)
         ok = jnp.zeros((n,), bool)
-        ms = map_ops.insert_keyframe(
+        ms, _ = map_ops.insert_keyframe(
             cfg, ms, feats, se3.pose_identity(), mp, ok, tr.frame_idx
         )
         tr = tr._replace(
@@ -132,19 +132,18 @@ def _fused_frame_step(cfg: SlamConfig, input_mode: str, map_state,
         ms = map_ops.update_track_stats(
             cfg, ms, out.visible, out.match_pt, out.match_ok
         )
-        can_kf = (
-            out.need_kf & ~out.lost & (ms.n_kf < cfg.map.max_keyframes)
-        )
+        # Gate on a FREE SLOT, not total insertions: culled slots are
+        # free-list reused, so long sequences keep inserting keyframes.
+        can_kf = out.need_kf & ~out.lost & ~jnp.all(ms.kf_valid)
 
         def kf_event(ms, ls, tr):
             """Local-mapping + place-recognition work for a new keyframe
             (reference §3.3/§3.4, fused into the frame step)."""
-            st = map_ops.insert_keyframe(
+            st, kf_id = map_ops.insert_keyframe(
                 cfg, ms, feats, out.pose_cw, out.match_pt, out.match_ok,
                 tr.frame_idx,
             )
-            kf_id = st.n_kf - 1
-            st = map_ops.fuse_new_keyframe(cfg, st)
+            st = map_ops.fuse_new_keyframe(cfg, st, kf_id)
             st = map_ops.cull_points(cfg, st, update_covis=False)
             st, ba = local_bundle_adjustment(cfg, st, kf_id)
             st = map_ops.cull_one_keyframe(cfg, st)

@@ -105,7 +105,7 @@ def test_batched_tracking_matches_sequential():
         f0 = extract_features(
             jnp.asarray(rgb_to_gray(frames[0][1])), jnp.asarray(frames[0][2]), DP_CFG
         )
-        st = map_ops.insert_keyframe(
+        st, _ = map_ops.insert_keyframe(
             DP_CFG, empty_map(DP_CFG), f0, se3.pose_identity(),
             jnp.full((n,), -1, jnp.int32), jnp.zeros(n, bool), 0,
         )
