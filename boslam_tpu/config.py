@@ -134,7 +134,10 @@ class LoopConfig:
     min_score_matches: int = 30    # descriptor-level candidate score threshold
     consistency: int = 3           # consecutive-KF temporal consistency
     min_gap_kf: int = 20           # candidate must be this many KFs old
-    se3_inliers: int = 20          # 3D-3D geometric verification bound
+    # Refined-inlier acceptance bound: RANSAC SE3 then pixel-level GN chi2
+    # regating; a weak (aliased-texture) candidate passes 3D RANSAC with
+    # ~20 inliers but a genuine revisit yields 60+, so gate high.
+    se3_inliers: int = 40
     se3_threshold: float = 0.10    # metres, 3D alignment inlier radius
     pg_iters: int = 12             # pose-graph GN iterations
 

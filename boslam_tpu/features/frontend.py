@@ -90,11 +90,15 @@ def _fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     parity with cv2 is asserted by keypoint repeatability, not exact scores --
     SURVEY.md §4.2.1).
     """
+    return _fast_scores(img, (threshold,))[0]
+
+
+def _fast_scores(img: jnp.ndarray, thresholds) -> list:
+    """FAST-9 score maps at several thresholds, sharing the circle-shift
+    stack (the adaptive-threshold path needs hi + lo in one pass)."""
     shifted = jnp.stack(
         [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dx, dy in _CIRCLE]
     )  # [16, H, W]
-    bright = shifted > img[None] + threshold
-    dark = shifted < img[None] - threshold
 
     def contig9(m):
         acc = m
@@ -102,11 +106,16 @@ def _fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
             acc = acc & jnp.roll(m, -k, axis=0)
         return jnp.any(acc, axis=0)
 
-    is_b = contig9(bright)
-    is_d = contig9(dark)
-    margin_b = jnp.sum(jnp.where(bright, shifted - img[None] - threshold, 0.0), 0)
-    margin_d = jnp.sum(jnp.where(dark, img[None] - threshold - shifted, 0.0), 0)
-    return jnp.maximum(is_b * margin_b, is_d * margin_d)
+    out = []
+    for t in thresholds:
+        bright = shifted > img[None] + t
+        dark = shifted < img[None] - t
+        is_b = contig9(bright)
+        is_d = contig9(dark)
+        margin_b = jnp.sum(jnp.where(bright, shifted - img[None] - t, 0.0), 0)
+        margin_d = jnp.sum(jnp.where(dark, img[None] - t - shifted, 0.0), 0)
+        out.append(jnp.maximum(is_b * margin_b, is_d * margin_d))
+    return out
 
 
 def _nms3(score: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +129,43 @@ def _border_mask(h: int, w: int, b: int) -> np.ndarray:
     m = np.zeros((h, w), np.float32)
     m[b : h - b, b : w - b] = 1.0
     return m
+
+
+# Rank boosts for the grid-distributed selection.  Raw FAST scores are
+# intensity margins < 16*255 = 4080, so these separate cleanly in f32.
+_BOOST_HI = float(1 << 17)    # high-threshold corner beats any low-threshold one
+_BOOST_CELL = float(1 << 18)  # per-cell best beats everything (>=1 kp/cell)
+
+
+def _grid_select(rank: jnp.ndarray, k: int, rows: int, cols: int):
+    """Spatially distributed top-k (reference ORB grid/quadtree policy,
+    SURVEY.md §2.2 ORB row).
+
+    ``rank`` is a [H, W] ranking map (0 = no corner).  Selection: per grid
+    cell take the top-q candidates (q caps any cell at ~2x its fair share),
+    boost each cell's best by _BOOST_CELL so every occupied cell places at
+    least one keypoint before any cell places two, then global top-k.
+
+    Returns (ys [k], xs [k], chosen_rank [k]).
+    """
+    h, w = rank.shape
+    n_cells = rows * cols
+    ch = -(-h // rows)
+    cw = -(-w // cols)
+    q = min(max(2, -(-2 * k // n_cells)), k)
+    padded = jnp.zeros((rows * ch, cols * cw), rank.dtype).at[:h, :w].set(rank)
+    cells = padded.reshape(rows, ch, cols, cw).transpose(0, 2, 1, 3).reshape(
+        n_cells, ch * cw
+    )
+    topv, topi = jax.lax.top_k(cells, q)                     # [n_cells, q]
+    topv = topv.at[:, 0].add(jnp.where(topv[:, 0] > 0, _BOOST_CELL, 0.0))
+    cell_r = jnp.arange(n_cells) // cols
+    cell_c = jnp.arange(n_cells) % cols
+    ys = cell_r[:, None] * ch + topi // cw                   # [n_cells, q]
+    xs = cell_c[:, None] * cw + topi % cw
+    flat_v = jnp.where(topv > 0, topv, 0.0).reshape(-1)
+    best, sel = jax.lax.top_k(flat_v, k)
+    return ys.reshape(-1)[sel], xs.reshape(-1)[sel], best
 
 
 def _subpixel_offsets(score, ys, xs):
@@ -198,12 +244,19 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
         if l > 0:
             level = jax.image.resize(level, (hl, wl), "linear")
         blurred = _blur(level, kernel)
-        raw_score = _fast_score(level, float(orb.fast_threshold))
-        score = _nms3(raw_score) * jnp.asarray(_border_mask(hl, wl, _LEVEL_BORDER))
+        # Adaptive FAST threshold (reference ORB per-cell retry at the min
+        # threshold): score at hi + lo thresholds in one shared pass; rank
+        # hi corners above lo ones so lo corners only fill weak cells.
+        raw_hi, raw_lo = _fast_scores(
+            level, (float(orb.fast_threshold), float(orb.fast_threshold_min))
+        )
+        border = jnp.asarray(_border_mask(hl, wl, _LEVEL_BORDER))
+        nms_hi = _nms3(raw_hi) * border
+        nms_lo = _nms3(raw_lo) * border
+        rank = jnp.where(nms_hi > 0, nms_hi + _BOOST_HI, nms_lo)
+        raw_score = jnp.where(raw_hi > 0, raw_hi, raw_lo)
         k = budgets[l]
-        top, idx = jax.lax.top_k(score.reshape(-1), k)
-        ys = idx // wl
-        xs = idx % wl
+        ys, xs, top = _grid_select(rank, k, orb.grid_rows, orb.grid_cols)
         valid = top > 0
         angle, desc = _orientation_and_desc(blurred, ys, xs, pattern)
         # Sub-pixel refinement: 1D quadratic fit on the raw FAST score along
@@ -225,7 +278,8 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
         ang_all.append(angle)
         desc_all.append(desc)
         oct_all.append(jnp.full((k,), l, jnp.int32))
-        resp_all.append(top)
+        # Response = raw FAST margin (boost-free), comparable across cells.
+        resp_all.append(raw_score[jnp.clip(ys, 0, hl - 1), jnp.clip(xs, 0, wl - 1)])
         val_all.append(valid)
 
     uv = jnp.concatenate(uv_all)

@@ -20,7 +20,7 @@ from boslam_tpu.config import SlamConfig
 from boslam_tpu.geometry import camera as cam_mod
 from boslam_tpu.loopclosure.vocab import LoopState
 from boslam_tpu.matching import hamming
-from boslam_tpu.solvers import ransac_se3
+from boslam_tpu.solvers import optimize_pose, ransac_se3
 
 
 class LoopDetection(NamedTuple):
@@ -53,8 +53,15 @@ def detect_loop(cfg: SlamConfig, loop: LoopState, map_state, kf_id):
     found = cand_mask[best]
     cand = jnp.where(found, best, -1).astype(jnp.int32)
 
-    # Temporal consistency: the same map region must fire on consecutive KFs.
-    near_prev = found & (jnp.abs(cand - loop.streak_kf) <= 5)
+    # Temporal consistency: the same MAP REGION must fire on consecutive KFs,
+    # where "same region" = the covisibility groups of this candidate and the
+    # previous streak candidate intersect (reference consistency-group policy;
+    # slot-id adjacency is meaningless once culled slots are reused).
+    prev = jnp.clip(loop.streak_kf, 0, K - 1)
+    g_cand = ((map_state.covis[best] > 0) | (jnp.arange(K) == best))
+    g_prev = ((map_state.covis[prev] > 0) | (jnp.arange(K) == prev))
+    overlap = jnp.any(g_cand & g_prev & map_state.kf_valid)
+    near_prev = found & (loop.streak_kf >= 0) & overlap
     streak = jnp.where(near_prev, loop.streak_len + 1, jnp.where(found, 1, 0))
     new_loop = loop._replace(
         streak_kf=jnp.where(found, cand, -1).astype(jnp.int32),
@@ -85,10 +92,12 @@ def verify_loop(cfg: SlamConfig, map_state, kf_cur, kf_cand, key):
     z_cand = map_state.kf_depth[kf_cand]
     v_cur = map_state.kf_kp_valid[kf_cur] & (z_cur > 0)
     v_cand = map_state.kf_kp_valid[kf_cand] & (z_cand > 0)
+    # Wide threshold: RANSAC gates the outliers, and grid-distributed
+    # keypoints make cross-visit matches sparser than clustered ones.
     dist = hamming.hamming_matrix_mxu(d_cur, d_cand)
     idx, ok, _ = hamming.match_top2(
-        dist, v_cur, v_cand, max_dist=cfg.matcher.hamming_low,
-        ratio=0.85, mutual=True,
+        dist, v_cur, v_cand, max_dist=cfg.matcher.hamming_high,
+        ratio=0.9, mutual=True,
     )
     N = d_cur.shape[0]
     j = jnp.clip(idx, 0, N - 1)
@@ -100,4 +109,19 @@ def verify_loop(cfg: SlamConfig, map_state, kf_cur, kf_cand, key):
         threshold=lc.se3_threshold,
         min_inliers=lc.se3_inliers,
     )
-    return res.ok, res.pose, res.n_inliers
+    # Refine the RANSAC SE3 at pixel accuracy: robust GN on reprojection (+
+    # depth) residuals of the matches (reference: SE3 solver then projection
+    # optimization, §3.4).  The Umeyama fit is only ~cm-accurate at the 3D
+    # inlier radius; feeding that straight into the pose graph injects the
+    # error into every keyframe.  Gate on the GN chi2 inlier count — a much
+    # tighter verification than the 3D radius.
+    refined = optimize_pose(
+        cfg, res.pose, xc_cand[j], map_state.kf_uv[kf_cur], z_cur,
+        ok & (z_cur > 0), ok, map_state.kf_octave[kf_cur],
+        inliers0=res.inliers,
+    )
+    # Descriptor-level candidate gate (config min_score_matches) + the GN
+    # chi2 inlier gate: both must clear for the edge to enter the pose graph.
+    enough_matches = jnp.sum(ok) >= lc.min_score_matches
+    good = res.ok & enough_matches & (refined.n_inliers >= lc.se3_inliers)
+    return good, refined.pose, refined.n_inliers

@@ -179,6 +179,16 @@ def cull_one_keyframe(cfg: SlamConfig, state: MapState) -> MapState:
     )
     victim = jnp.argmax(jnp.where(eligible, frac, -1.0))
     do = eligible[victim]
+    # Re-home points referencing the victim to its spanning parent (root as
+    # fallback): pt_ref_kf must always name a LIVE keyframe, or pose-graph
+    # corrections would leave those points behind (stale-map tracking loss).
+    parent = state.spanning_parent[victim]
+    parent = jnp.where(
+        (parent >= 0) & state.kf_valid[jnp.clip(parent, 0, K - 1)], parent, 0
+    ).astype(jnp.int32)
+    new_ref = jnp.where(
+        do & (state.pt_ref_kf == victim), parent, state.pt_ref_kf
+    )
     st = state._replace(
         kf_valid=state.kf_valid.at[victim].set(
             jnp.where(do, False, state.kf_valid[victim])
@@ -186,6 +196,7 @@ def cull_one_keyframe(cfg: SlamConfig, state: MapState) -> MapState:
         kf_obs_pt=jnp.where(
             do & (jnp.arange(K) == victim)[:, None], -1, state.kf_obs_pt
         ),
+        pt_ref_kf=new_ref,
     )
     return recompute_covis(st)
 

@@ -68,9 +68,10 @@ def _local_partials(cfg: SlamConfig, poses, pts, edges, opt_cam_mask, lam):
         eye3 * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)[..., None, :]
     ) + 1e-8 * eye3
     Hpp_inv = ba_core.inv3x3(Hpp_d)
-    M = jnp.einsum("pkis,pst->pkit", A, Hpp_inv)
-    S_cross = jnp.einsum("pait,pbjt->aibj", M, A)
-    bs_corr = jnp.einsum("pait,pt->ai", M, bp)
+    hi = jax.lax.Precision.HIGHEST
+    M = jnp.einsum("pkis,pst->pkit", A, Hpp_inv, precision=hi)
+    S_cross = jnp.einsum("pait,pbjt->aibj", M, A, precision=hi)
+    bs_corr = jnp.einsum("pait,pt->ai", M, bp, precision=hi)
     return Hcc, bc, S_cross, bs_corr, Hpp_inv, A, bp
 
 

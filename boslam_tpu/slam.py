@@ -283,7 +283,7 @@ class SlamSystem:
         self._pending_rows, self._pending_ts, self._pending_t0 = [], [], []
         t_drain = time.perf_counter()
 
-        loop_request = None  # (kf_id, cand) — at most one closure per drain
+        loop_requests = []  # (kf_id, cand) — try in order, one CLOSURE per drain
         for ts, t0, r in zip(ts_list, t0_list, rows):
             self.timestamps.append(ts)
             self.poses_twc.append(r[O_POSE0:O_POSE0 + 7].copy())
@@ -313,8 +313,8 @@ class SlamSystem:
                 if r[O_LCAND] >= 0:
                     rec["loop_candidate"] = int(r[O_LCAND])
                     rec["loop_score"] = float(r[O_LSCORE])
-                if r[O_LCONS] > 0.5 and loop_request is None:
-                    loop_request = (kf_id, int(r[O_LCAND]))
+                if r[O_LCONS] > 0.5:
+                    loop_requests.append((kf_id, int(r[O_LCAND])))
             self.metrics.append(rec)
 
         # --- host-mediated events (rare; reference's async workers) ----
@@ -322,8 +322,12 @@ class SlamSystem:
         if not self._vocab_ready_host and n_kf >= VOCAB_TRAIN_AT_KF:
             self.loop = train_vocab(self.cfg, self.loop, self.map)
             self._vocab_ready_host = True
-        if loop_request is not None:
-            self._try_close_loop(*loop_request)
+        # Verify every consistent candidate from this drain (cheap jitted
+        # call each), but run at most one pose-graph CORRECTION — later
+        # requests reference the pre-correction map.
+        for req in loop_requests:
+            if self._try_close_loop(*req):
+                break
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -335,18 +339,20 @@ class SlamSystem:
         return self.poses_twc[-1]
 
     # ------------------------------------------------------------------
-    def _try_close_loop(self, kf_id: int, cand: int) -> None:
-        """Geometric verification + loop correction (reference §3.4)."""
+    def _try_close_loop(self, kf_id: int, cand: int) -> bool:
+        """Geometric verification + loop correction (reference §3.4).
+        Returns True iff a correction was applied."""
         if cand < 0:
-            return
+            return False
         self.key, k = jax.random.split(self.key)
         ok, t_rel, n_inl = verify_loop(
             self.cfg, self.map, jnp.asarray(kf_id), jnp.asarray(cand), k
         )
         self.metrics[-1]["loop_inliers"] = int(n_inl)
         if not bool(ok):
-            return
+            return False
         self._close_loop(kf_id, cand, t_rel)
+        return True
 
     def _close_loop(self, kf_id: int, cand: int, t_rel) -> None:
         """Correct the loop: pose-graph optimization over the essential

@@ -209,11 +209,15 @@ def _lm_solve_step(cfg: SlamConfig, poses, pts, edges: DenseEdges,
     Gp = J_pt * sw[..., None]                                # [C, L, 3, 3]
     rw = r * sw                                              # [C, L, 3]
 
-    Hcc = jnp.einsum("clri,clrj->cij", Gc, Gc)               # [KO, 6, 6]
-    bc = -jnp.einsum("clri,clr->ci", Gc, rw[:KO])            # [KO, 6]
-    Hpp = jnp.einsum("clri,clrj->lij", Gp, Gp)               # [L, 3, 3]
-    bp = -jnp.einsum("clri,clr->li", Gp, rw)                 # [L, 3]
-    A = jnp.einsum("clri,clrj->lcij", Gc, Gp[:KO])           # [L, KO, 6, 3]
+    # Normal-equation contractions run at HIGHEST matmul precision: the TPU
+    # default (bf16 multiplies) can leave S = Hcc - S_cross slightly
+    # indefinite after cancellation, and Cholesky then yields silent NaNs.
+    hi = jax.lax.Precision.HIGHEST
+    Hcc = jnp.einsum("clri,clrj->cij", Gc, Gc, precision=hi)  # [KO, 6, 6]
+    bc = -jnp.einsum("clri,clr->ci", Gc, rw[:KO], precision=hi)  # [KO, 6]
+    Hpp = jnp.einsum("clri,clrj->lij", Gp, Gp, precision=hi)  # [L, 3, 3]
+    bp = -jnp.einsum("clri,clr->li", Gp, rw, precision=hi)    # [L, 3]
+    A = jnp.einsum("clri,clrj->lcij", Gc, Gp[:KO], precision=hi)  # [L, KO, 6, 3]
 
     # Marquardt damping.
     eye3 = jnp.eye(3)
@@ -223,12 +227,12 @@ def _lm_solve_step(cfg: SlamConfig, poses, pts, edges: DenseEdges,
     Hpp_inv = inv3x3(Hpp_d)
 
     # Schur reduction on the MXU.
-    M = jnp.einsum("pkis,pst->pkit", A, Hpp_inv)            # [L, KO, 6, 3]
-    S_cross = jnp.einsum("pait,pbjt->aibj", M, A)           # [KO,6,KO,6]
+    M = jnp.einsum("pkis,pst->pkit", A, Hpp_inv, precision=hi)  # [L, KO, 6, 3]
+    S_cross = jnp.einsum("pait,pbjt->aibj", M, A, precision=hi)  # [KO,6,KO,6]
     S = jnp.zeros((KO, 6, KO, 6))
     S = S.at[jnp.arange(KO), :, jnp.arange(KO), :].add(Hcc)
     S = S - S_cross
-    b_s = bc - jnp.einsum("pait,pt->ai", M, bp)             # [KO, 6]
+    b_s = bc - jnp.einsum("pait,pt->ai", M, bp, precision=hi)   # [KO, 6]
 
     D = KO * 6
     S = S.reshape(D, D)
@@ -246,9 +250,14 @@ def _lm_solve_step(cfg: SlamConfig, poses, pts, edges: DenseEdges,
 
     # Back-substitute points.
     dpt = jnp.einsum(
-        "pst,pt->ps", Hpp_inv, bp - jnp.einsum("pait,ai->pt", A, dxi)
+        "pst,pt->ps", Hpp_inv,
+        bp - jnp.einsum("pait,ai->pt", A, dxi, precision=hi),
+        precision=hi,
     )
-    return dxi, dpt
+    # A non-finite solve (numerically indefinite Schur system) must not
+    # poison the state: skip the step instead.
+    finite = jnp.all(jnp.isfinite(dxi)) & jnp.all(jnp.isfinite(dpt))
+    return jnp.where(finite, dxi, 0.0), jnp.where(finite, dpt, 0.0)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -134,6 +134,7 @@ def optimize_pose_graph(
         Hf = Hf + 1e-6 * jnp.eye(K * 6) + 1e-3 * jnp.diag(jnp.diag(Hf))
         dx = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hf), bf)
         dx = dx.reshape(K, 6) * free[:, None]
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)  # skip bad solves
         return se3.retract(poses, dx), None
 
     poses, _ = jax.lax.scan(gn_iter, poses, None, length=cfg.loop.pg_iters)
@@ -151,7 +152,10 @@ def apply_pose_correction(cfg: SlamConfig, state: MapState, new_poses):
     T_new_wc = se3.pose_inv(new_poses[ref])
     corr = se3.pose_compose(T_new_wc, T_old_cw)
     xyz = se3.pose_apply(corr, state.pt_xyz)
-    xyz = jnp.where(state.pt_valid[:, None], xyz, state.pt_xyz)
+    # Points must move with a LIVE keyframe; a dead ref (shouldn't happen —
+    # culling re-homes refs) would get an identity correction and go stale.
+    move = state.pt_valid & state.kf_valid[ref]
+    xyz = jnp.where(move[:, None], xyz, state.pt_xyz)
     return state._replace(kf_pose=new_poses, pt_xyz=xyz)
 
 

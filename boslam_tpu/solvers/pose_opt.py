@@ -67,6 +67,7 @@ def optimize_pose(
     has_depth,
     obs_mask,
     octave=None,
+    inliers0=None,
 ) -> PoseOptResult:
     """Robust GN pose refinement with chi2 outlier gating.
 
@@ -74,6 +75,10 @@ def optimize_pose(
     steps on current inliers, then reclassifies inliers at the chi2 bound
     (2 dof for mono edges, 3 dof for depth edges) — the reference's g2o
     schedule, expressed as lax loops.
+
+    ``inliers0`` optionally seeds the first round's inlier set (e.g. a RANSAC
+    consensus set when ``obs_mask`` is outlier-heavy); reclassification can
+    re-admit any ``obs_mask`` edge that agrees at the chi2 bound.
     """
     tk = cfg.tracker
     n = pts_w.shape[0]
@@ -103,6 +108,7 @@ def optimize_pose(
             b = -jnp.einsum("nri,n,nr->i", J, w, r)
             H = H + 1e-5 * jnp.eye(6) * (1.0 + jnp.trace(H) / 6.0)
             xi = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), b)
+            xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, 0.0)
             new_pose = se3.retract(pose, xi)
             return (new_pose, cost), (pose, cost)
 
@@ -122,7 +128,7 @@ def optimize_pose(
         inlier = obs_mask.astype(jnp.float32) * (chi2 < bound)
         return (pose, inlier), None
 
-    inlier0 = obs_mask.astype(jnp.float32)
+    inlier0 = (obs_mask if inliers0 is None else inliers0).astype(jnp.float32)
     (pose, inlier), _ = jax.lax.scan(
         gn_round, (pose0, inlier0), None, length=tk.ba_rounds
     )

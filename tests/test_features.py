@@ -102,3 +102,21 @@ def test_orientation_rotates_with_image(frame):
     ang = np.asarray(f.angle)[np.asarray(f.valid)]
     assert np.all(np.isfinite(ang))
     assert ang.std() > 0.5
+
+
+def test_grid_spatial_distribution(frame):
+    """Grid-bucketed selection spreads keypoints over the image (reference
+    ORB grid/quadtree policy): most grid cells must hold a keypoint, and no
+    cell may hog the budget."""
+    gray, depth = frame
+    f = extract_features(jnp.asarray(gray), jnp.asarray(depth), CFG)
+    v = np.asarray(f.valid)
+    uv = np.asarray(f.uv)[v]
+    R, C = CFG.orb.grid_rows, CFG.orb.grid_cols
+    gx = np.clip((uv[:, 0] / CAM.width * C).astype(int), 0, C - 1)
+    gy = np.clip((uv[:, 1] / CAM.height * R).astype(int), 0, R - 1)
+    cell = gy * C + gx
+    counts = np.bincount(cell, minlength=R * C)
+    occupied = int((counts > 0).sum())
+    assert occupied >= R * C // 2, f"only {occupied}/{R*C} cells occupied"
+    assert counts.max() <= max(8, 4 * v.sum() // (R * C)), "one cell hogs the budget"
