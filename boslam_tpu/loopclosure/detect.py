@@ -20,6 +20,7 @@ from boslam_tpu.config import SlamConfig
 from boslam_tpu.geometry import camera as cam_mod
 from boslam_tpu.loopclosure.vocab import LoopState
 from boslam_tpu.matching import hamming
+from boslam_tpu.matching.rotation import rotation_consistency
 from boslam_tpu.solvers import optimize_pose, ransac_se3
 
 
@@ -99,6 +100,14 @@ def verify_loop(cfg: SlamConfig, map_state, kf_cur, kf_cand, key):
         dist, v_cur, v_cand, max_dist=cfg.matcher.hamming_high,
         ratio=0.9, mutual=True,
     )
+    # Rotation-consistency histogram over the match set (reference Matcher).
+    cand_angle = map_state.kf_angle[kf_cand]
+    ok = rotation_consistency(
+        map_state.kf_angle[kf_cur],
+        cand_angle[jnp.clip(idx, 0, cand_angle.shape[0] - 1)],
+        ok,
+    )
+    idx = jnp.where(ok, idx, -1)
     N = d_cur.shape[0]
     j = jnp.clip(idx, 0, N - 1)
     xc_cur = cam_mod.backproject(cam, map_state.kf_uv[kf_cur], z_cur)

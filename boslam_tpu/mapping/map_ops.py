@@ -80,6 +80,7 @@ def insert_keyframe(
     st = state._replace(
         pt_xyz=state.pt_xyz.at[new_id].set(xyz_w, mode="drop"),
         pt_desc=state.pt_desc.at[new_id].set(feats.desc, mode="drop"),
+        pt_angle=state.pt_angle.at[new_id].set(feats.angle, mode="drop"),
         pt_valid=state.pt_valid.at[new_id].set(True, mode="drop"),
         pt_ref_kf=state.pt_ref_kf.at[new_id].set(slot, mode="drop"),
         pt_first_kf=state.pt_first_kf.at[new_id].set(state.n_kf, mode="drop"),
@@ -97,6 +98,7 @@ def insert_keyframe(
         kf_depth=st.kf_depth.at[slot].set(feats.depth),
         kf_desc=st.kf_desc.at[slot].set(feats.desc),
         kf_octave=st.kf_octave.at[slot].set(feats.octave),
+        kf_angle=st.kf_angle.at[slot].set(feats.angle),
         kf_kp_valid=st.kf_kp_valid.at[slot].set(feats.valid),
         kf_obs_pt=st.kf_obs_pt.at[slot].set(obs),
         kf_frame_idx=st.kf_frame_idx.at[slot].set(frame_idx),

@@ -33,6 +33,7 @@ class MapState(NamedTuple):
     kf_depth: jnp.ndarray     # [K, N] f32 keypoint depth (0 = none)
     kf_desc: jnp.ndarray      # [K, N, 8] u32 descriptors
     kf_octave: jnp.ndarray    # [K, N] i32
+    kf_angle: jnp.ndarray     # [K, N] f32 keypoint orientation (radians)
     kf_kp_valid: jnp.ndarray  # [K, N] bool
     kf_obs_pt: jnp.ndarray    # [K, N] i32 observed point id, -1 = none
     kf_frame_idx: jnp.ndarray # [K] i32 source frame index
@@ -41,6 +42,7 @@ class MapState(NamedTuple):
     # --- map points -----------------------------------------------------
     pt_xyz: jnp.ndarray       # [P, 3] f32 world positions
     pt_desc: jnp.ndarray      # [P, 8] u32 representative descriptor
+    pt_angle: jnp.ndarray     # [P] f32 orientation of the creating observation
     pt_valid: jnp.ndarray     # [P] bool
     pt_ref_kf: jnp.ndarray    # [P] i32 creating keyframe
     pt_first_kf: jnp.ndarray  # [P] i32 n_kf at creation (recency for culling)
@@ -65,6 +67,7 @@ def empty_map(cfg: SlamConfig) -> MapState:
         kf_depth=jnp.zeros((K, N)),
         kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
         kf_octave=jnp.zeros((K, N), jnp.int32),
+        kf_angle=jnp.zeros((K, N)),
         kf_kp_valid=jnp.zeros((K, N), bool),
         kf_obs_pt=jnp.full((K, N), -1, jnp.int32),
         kf_frame_idx=jnp.zeros(K, jnp.int32),
@@ -72,6 +75,7 @@ def empty_map(cfg: SlamConfig) -> MapState:
         n_kf=jnp.zeros((), jnp.int32),
         pt_xyz=jnp.zeros((P, 3)),
         pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_angle=jnp.zeros(P),
         pt_valid=jnp.zeros(P, bool),
         pt_ref_kf=jnp.zeros(P, jnp.int32),
         pt_first_kf=jnp.zeros(P, jnp.int32),

@@ -16,6 +16,7 @@ from boslam_tpu.config import SlamConfig
 from boslam_tpu.geometry import camera as cam_mod
 from boslam_tpu.geometry import se3
 from boslam_tpu.matching import hamming
+from boslam_tpu.matching.rotation import rotation_consistency
 
 
 def project_points(cfg: SlamConfig, pose_cw, pt_xyz, pt_valid):
@@ -48,6 +49,7 @@ def search_by_projection(
     max_dist: int,
     ratio: float | None = None,
     mutual: bool = True,
+    pt_angle=None,
 ):
     """Match frame keypoints to map points under a predicted pose.
 
@@ -78,4 +80,11 @@ def search_by_projection(
         mutual=mutual,
         extra_mask=window,
     )
+    if pt_angle is not None:
+        # Rotation-consistency histogram: mismatches scatter in relative
+        # orientation while true matches share the camera-roll offset.
+        matched_angle = pt_angle[jnp.clip(idx, 0, pt_angle.shape[0] - 1)]
+        keep = rotation_consistency(feats.angle, matched_angle, ok)
+        idx = jnp.where(keep, idx, -1)
+        ok = keep
     return idx, ok, vis, mdist

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from boslam_tpu.config import SlamConfig
 from boslam_tpu.geometry import se3
-from boslam_tpu.matching import hamming, projection
+from boslam_tpu.matching import hamming, projection, rotation
 from boslam_tpu.solvers import optimize_pose, ransac_se3
 
 ST_UNINIT, ST_OK, ST_LOST = 0, 1, 2
@@ -68,6 +68,7 @@ def _match_and_optimize(cfg, feats, pose_pred, map_state, radius, max_dist, rati
     idx, ok, vis, _ = projection.search_by_projection(
         cfg, feats, pose_pred, map_state.pt_xyz, map_state.pt_desc,
         map_state.pt_valid, radius=radius, max_dist=max_dist, ratio=ratio,
+        pt_angle=map_state.pt_angle,
     )
     P = map_state.pt_xyz.shape[0]
     pid = jnp.clip(idx, 0, P - 1)
@@ -178,6 +179,12 @@ def relocalize(cfg: SlamConfig, map_state, track: TrackState, feats, key):
         dist, feats.valid & feats.has_depth, map_state.pt_valid,
         max_dist=cfg.matcher.hamming_low, ratio=0.85, mutual=True,
     )
+    ok = rotation.rotation_consistency(
+        feats.angle,
+        map_state.pt_angle[jnp.clip(idx, 0, map_state.pt_angle.shape[0] - 1)],
+        ok,
+    )
+    idx = jnp.where(ok, idx, -1)
     P = map_state.pt_xyz.shape[0]
     pid = jnp.clip(idx, 0, P - 1)
     res = ransac_se3(

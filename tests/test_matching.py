@@ -77,3 +77,35 @@ def test_match_top2_respects_validity(rng):
     idx, ok, _ = hamming.match_top2(dist, valid_a, valid_b, max_dist=256, ratio=1.0, mutual=False)
     assert np.all(np.asarray(idx)[np.asarray(ok)] == 0)
     assert ok[0]
+
+
+def test_rotation_consistency_filter():
+    """Planted outlier matches at odd relative rotations are removed; the
+    dominant-rotation inliers survive (reference 30-bin histogram policy)."""
+    import numpy as np
+    from boslam_tpu.matching.rotation import rotation_consistency
+
+    rng = np.random.default_rng(3)
+    n = 200
+    ang_a = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+    roll = 0.4  # global camera roll between the two sides
+    ang_b = ang_a - roll + rng.normal(0, 0.02, n).astype(np.float32)
+    outlier = np.zeros(n, bool)
+    outlier[: n // 4] = True  # 25% mismatches with random rotation
+    ang_b[outlier] = rng.uniform(0, 2 * np.pi, outlier.sum())
+    ok = np.ones(n, bool)
+    keep = np.asarray(
+        rotation_consistency(jnp.asarray(ang_a), jnp.asarray(ang_b), jnp.asarray(ok))
+    )
+    # all true matches kept, great majority of outliers dropped
+    assert keep[~outlier].mean() > 0.99
+    assert keep[outlier].mean() < 0.25
+    # sparse sets pass through unchanged (no-op below min_matches)
+    ok_sparse = np.zeros(n, bool)
+    ok_sparse[:8] = True
+    keep2 = np.asarray(
+        rotation_consistency(
+            jnp.asarray(ang_a), jnp.asarray(ang_b), jnp.asarray(ok_sparse)
+        )
+    )
+    assert (keep2 == ok_sparse).all()
