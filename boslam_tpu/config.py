@@ -140,6 +140,16 @@ class LoopConfig:
     se3_inliers: int = 40
     se3_threshold: float = 0.10    # metres, 3D alignment inlier radius
     pg_iters: int = 12             # pose-graph GN iterations
+    # Online vocabulary lifecycle: first trained once this many keyframes
+    # exist, then retrained every vocab_refresh_kf NEW insertions so the
+    # word table tracks the scene (kf_bow rows are recomputed each time).
+    vocab_train_kf: int = 5
+    vocab_refresh_kf: int = 32
+    # Run full global BA after a successful loop correction (the reference's
+    # optional side-thread global BA, SURVEY.md §3.4).
+    run_global_ba: bool = False
+    global_ba_iters: int = 6
+    global_ba_cg_iters: int = 40
 
 
 @dataclasses.dataclass(frozen=True)

@@ -100,6 +100,18 @@ def _bow_vector(cfg: SlamConfig, vocab, desc, valid):
     return tf / jnp.maximum(jnp.linalg.norm(tf), 1e-9)
 
 
+def word_ids(vocab, desc, valid):
+    """[N] i32 vocabulary word per descriptor (argmin Hamming via MXU)."""
+    d = hamming.hamming_matrix_mxu(desc, vocab)
+    w = jnp.argmin(d, axis=1).astype(jnp.int32)
+    return jnp.where(valid, w, -1)
+
+
+def bow_vector(cfg: SlamConfig, vocab, desc, valid):
+    """Public L2-normalized BoW tf vector of a descriptor set."""
+    return _bow_vector(cfg, vocab, desc, valid)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def compute_bow(cfg: SlamConfig, loop: LoopState, map_state, kf_id) -> LoopState:
     """Compute + store the BoW vector of one keyframe (on insertion)."""

@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--profile", type=str, default=None,
                     help="jax.profiler trace logdir")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--global-ba", action="store_true",
+                    help="run full-map BA after loop closures AND at exit")
     args = ap.parse_args()
 
     from boslam_tpu.config import SlamConfig, TUM_FR1, TUM_FR2, TUM_FR3
@@ -44,6 +46,12 @@ def main() -> None:
 
     cam = {"fr1": TUM_FR1, "fr2": TUM_FR2, "fr3": TUM_FR3}[args.camera]
     cfg = SlamConfig(camera=cam)
+    if args.global_ba:
+        import dataclasses
+
+        cfg = cfg.replace(
+            loop=dataclasses.replace(cfg.loop, run_global_ba=True)
+        )
 
     gt = None
     if args.synthetic:
@@ -84,6 +92,11 @@ def main() -> None:
                 ckpt.save(args.checkpoint_dir, slam)
                 last_ckpt_kf = slam.n_keyframes
 
+    if args.global_ba:
+        slam.flush()
+        rec = slam.run_global_ba()
+        print(f"global BA: cost {rec['gba_cost0']:.1f} -> {rec['gba_cost1']:.1f} "
+              f"({rec['gba_edges']} edges)", file=sys.stderr)
     ts_arr, poses = slam.trajectory()
     tum.save_trajectory(args.out, ts_arr, poses)
     print(f"wrote {len(ts_arr)} poses to {args.out}", file=sys.stderr)

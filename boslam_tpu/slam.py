@@ -42,8 +42,6 @@ from boslam_tpu.solvers.pose_graph import (
 from boslam_tpu.tracking import init_track_state, relocalize, track_frame
 from boslam_tpu.tracking.tracker import ST_LOST, ST_OK, ST_UNINIT
 
-VOCAB_TRAIN_AT_KF = 5  # train the online vocabulary once this many KFs exist
-
 _BT601 = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 # Packed per-frame output row (f32[OUT_DIM]) — the ONLY device->host data.
@@ -63,7 +61,13 @@ O_LCONS = 18         # 1.0 if temporal consistency passed
 O_LOST = 19          # 1.0 if tracking was lost this frame
 O_RELOC = 20         # 0 none / 1 reloc attempted+failed / 2 attempted+ok
 O_NKF = 21           # keyframe count after the frame
-OUT_DIM = 22
+O_REF = 22           # reference keyframe slot of this frame
+O_REFSEQ = 23        # kf_seq of that slot (detects later slot reuse)
+O_REL0 = 24          # [24:31] T_cur_ref = T_cw(frame) ∘ T_wc(ref keyframe):
+                     # lets the host re-anchor past frames to CORRECTED
+                     # keyframe poses at dump time (reference trajectory
+                     # dump policy — frames ride their reference KF)
+OUT_DIM = 31
 
 
 @functools.partial(
@@ -118,7 +122,7 @@ def _fused_frame_step(cfg: SlamConfig, input_mode: str, map_state,
 
     # ---- branch 2: lost — global relocalization (§3.2 lost path) -------
     def lost_branch(ms, ls, tr):
-        tr, good, n_inl = relocalize(cfg, ms, tr, feats, sub)
+        tr, good, n_inl = relocalize(cfg, ms, ls, tr, feats, sub)
         row = (
             base_row(tr)
             .at[O_NINL].set(n_inl.astype(jnp.float32))
@@ -193,10 +197,15 @@ def _fused_frame_step(cfg: SlamConfig, input_mode: str, map_state,
         map_state, loop_state, track,
     )
     pose_twc = se3.pose_inv(track.pose_cw)
+    ref = track.last_kf
+    rel = se3.pose_compose(track.pose_cw, se3.pose_inv(map_state.kf_pose[ref]))
     row = (
         jax.lax.dynamic_update_slice(row, pose_twc, (O_POSE0,))
         .at[O_NKF].set(map_state.n_kf.astype(jnp.float32))
+        .at[O_REF].set(ref.astype(jnp.float32))
+        .at[O_REFSEQ].set(map_state.kf_seq[ref].astype(jnp.float32))
     )
+    row = jax.lax.dynamic_update_slice(row, rel, (O_REL0,))
     return map_state, loop_state, track, key, row
 
 
@@ -218,9 +227,11 @@ class SlamSystem:
         self.key = jax.random.key(seed)
         self.timestamps: List[float] = []
         self.poses_twc: List[np.ndarray] = []
+        # Per frame: (ref kf slot, kf_seq at record time, T_cur_ref [7]).
+        self.frame_refs: List[tuple] = []
         self.metrics: List[dict] = []
         self.n_loops_closed = 0
-        self._vocab_ready_host = False
+        self._vocab_trained_at = -1  # n_kf at last vocabulary (re)train
         self._pending_rows: List[jnp.ndarray] = []
         self._pending_ts: List[float] = []
         self._pending_t0: List[float] = []
@@ -287,6 +298,9 @@ class SlamSystem:
         for ts, t0, r in zip(ts_list, t0_list, rows):
             self.timestamps.append(ts)
             self.poses_twc.append(r[O_POSE0:O_POSE0 + 7].copy())
+            self.frame_refs.append(
+                (int(r[O_REF]), int(r[O_REFSEQ]), r[O_REL0:O_REL0 + 7].copy())
+            )
             rec = {
                 "ts": ts,
                 "status": int(r[O_STATUS]),
@@ -318,10 +332,19 @@ class SlamSystem:
             self.metrics.append(rec)
 
         # --- host-mediated events (rare; reference's async workers) ----
+        # Vocabulary lifecycle: first training once enough keyframes exist,
+        # then periodic refresh so the word table tracks the growing scene
+        # (kf_bow rows are recomputed inside train_vocab).
         n_kf = int(rows[-1][O_NKF])
-        if not self._vocab_ready_host and n_kf >= VOCAB_TRAIN_AT_KF:
+        lc = self.cfg.loop
+        due = (
+            (self._vocab_trained_at < 0 and n_kf >= lc.vocab_train_kf)
+            or (self._vocab_trained_at >= 0
+                and n_kf - self._vocab_trained_at >= lc.vocab_refresh_kf)
+        )
+        if due:
             self.loop = train_vocab(self.cfg, self.loop, self.map)
-            self._vocab_ready_host = True
+            self._vocab_trained_at = n_kf
         # Verify every consistent candidate from this drain (cheap jitted
         # call each), but run at most one pose-graph CORRECTION — later
         # requests reference the pre-correction map.
@@ -383,11 +406,60 @@ class SlamSystem:
         )
         self.n_loops_closed += 1
         self.metrics[-1]["event"] = "loop_closed"
+        if cfg.loop.run_global_ba:
+            # Reference §3.4: optional full-map BA after the pose-graph
+            # correction (side thread there; a jitted call here).
+            self.run_global_ba()
+
+    # ------------------------------------------------------------------
+    def run_global_ba(self) -> dict:
+        """Full-map bundle adjustment (BASELINE config 4 hook)."""
+        from boslam_tpu.solvers.global_ba import global_bundle_adjustment
+
+        cfg = self.cfg
+        self.map, stats = global_bundle_adjustment(
+            cfg, self.map,
+            lm_iters=cfg.loop.global_ba_iters,
+            cg_iters=cfg.loop.global_ba_cg_iters,
+        )
+        self.track = self.track._replace(
+            pose_cw=self.map.kf_pose[int(jnp.argmax(
+                jnp.where(self.map.kf_valid, self.map.kf_seq, -1)
+            ))],
+            velocity=se3.pose_identity(),
+        )
+        rec = {
+            "gba_cost0": float(stats.cost0),
+            "gba_cost1": float(stats.cost1),
+            "gba_edges": int(stats.n_edges),
+        }
+        if self.metrics:
+            self.metrics[-1].update(rec)
+        return rec
 
     # ------------------------------------------------------------------
     def trajectory(self):
+        """(timestamps, poses_twc [T, 7]) with every frame RE-ANCHORED to the
+        current pose of its reference keyframe (reference trajectory-dump
+        policy): loop-closure / global-BA corrections applied after a frame
+        passed still correct that frame's recorded pose.  Frames whose
+        reference slot was culled-and-reused keep their raw recorded pose."""
         self.flush()
-        return np.asarray(self.timestamps), np.stack(self.poses_twc)
+        ts = np.asarray(self.timestamps)
+        raw = np.stack(self.poses_twc)
+        if len(self.frame_refs) != len(self.poses_twc):
+            return ts, raw  # e.g. resumed from a pre-anchoring checkpoint
+        kf_pose = np.asarray(self.map.kf_pose)
+        kf_valid = np.asarray(self.map.kf_valid)
+        kf_seq = np.asarray(self.map.kf_seq)
+        refs = np.array([r[0] for r in self.frame_refs])
+        seqs = np.array([r[1] for r in self.frame_refs])
+        rels = np.stack([r[2] for r in self.frame_refs])
+        usable = kf_valid[refs] & (kf_seq[refs] == seqs)
+        T_cw = se3.pose_compose(jnp.asarray(rels), jnp.asarray(kf_pose[refs]))
+        anchored = np.asarray(se3.pose_inv(T_cw))
+        out = np.where(usable[:, None], anchored, raw)
+        return ts, out
 
     @property
     def n_keyframes(self) -> int:

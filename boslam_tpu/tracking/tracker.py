@@ -169,39 +169,92 @@ def track_frame(cfg: SlamConfig, map_state, track: TrackState, feats):
     return new_track, out
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def relocalize(cfg: SlamConfig, map_state, track: TrackState, feats, key):
-    """Global relocalization: match descriptors against the whole map with no
-    projection window, then 3D-3D RANSAC + robust GN (reference relocalize()
-    via BoW candidates + PnP, §3.2 lost path)."""
-    dist = hamming.hamming_matrix_mxu(feats.desc, map_state.pt_desc)
-    idx, ok, _ = hamming.match_top2(
-        dist, feats.valid & feats.has_depth, map_state.pt_valid,
-        max_dist=cfg.matcher.hamming_low, ratio=0.85, mutual=True,
-    )
-    ok = rotation.rotation_consistency(
-        feats.angle,
-        map_state.pt_angle[jnp.clip(idx, 0, map_state.pt_angle.shape[0] - 1)],
-        ok,
-    )
-    idx = jnp.where(ok, idx, -1)
-    P = map_state.pt_xyz.shape[0]
-    pid = jnp.clip(idx, 0, P - 1)
+def _reloc_solve(cfg: SlamConfig, pts_w, feats, idx, ok, key):
+    """Shared tail of relocalization: 3D-3D RANSAC + robust GN refine."""
     res = ransac_se3(
-        map_state.pt_xyz[pid], feats.xyz, ok, key,
+        pts_w, feats.xyz, ok, key,
         n_hypotheses=cfg.tracker.ransac_iters,
         threshold=cfg.loop.se3_threshold,
         min_inliers=cfg.tracker.min_inliers,
     )
     refined = optimize_pose(
-        cfg, res.pose, map_state.pt_xyz[pid], feats.uv, feats.depth,
-        feats.has_depth & ok, ok, feats.octave,
+        cfg, res.pose, pts_w, feats.uv, feats.depth,
+        feats.has_depth & ok, ok, feats.octave, inliers0=res.inliers,
     )
     good = res.ok & (refined.n_inliers >= cfg.tracker.min_inliers)
+    return good, refined.pose, refined.n_inliers
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def relocalize(cfg: SlamConfig, map_state, loop_state, track: TrackState,
+               feats, key):
+    """Relocalization (reference relocalize() via BoW candidates + PnP, §3.2
+    lost path).
+
+    With a trained vocabulary: query the BoW database for the best candidate
+    keyframe, match the frame's descriptors into it bucketed by vocabulary
+    word (reference ``search_by_bow``), lift matches to the keyframe's map
+    points (backprojected depth where no point is bound), and solve 3D-3D
+    RANSAC + robust GN.  Before the vocabulary exists: brute-force the whole
+    point cloud (cold-start fallback).
+    """
+    from boslam_tpu.matching import bow as bow_mod
+    from boslam_tpu.loopclosure import vocab as vocab_mod
+
+    P = map_state.pt_xyz.shape[0]
+    K = map_state.kf_pose.shape[0]
+
+    def bow_path(_):
+        frame_bow = vocab_mod.bow_vector(
+            cfg, loop_state.vocab, feats.desc, feats.valid
+        )
+        scores = loop_state.kf_bow @ frame_bow
+        cand = jnp.argmax(jnp.where(map_state.kf_valid, scores, -1.0))
+        idx, ok, _ = bow_mod.search_by_bow(
+            loop_state.vocab, feats.desc, feats.valid & feats.has_depth,
+            map_state.kf_desc[cand],
+            map_state.kf_kp_valid[cand] & (map_state.kf_depth[cand] > 0),
+            max_dist=cfg.matcher.hamming_high, ratio=0.9,
+            angle_a=feats.angle, angle_b=map_state.kf_angle[cand],
+        )
+        # World points of the matched keyframe slots: bound map point where
+        # one exists, otherwise the keypoint's depth backprojection.
+        N = map_state.kf_desc.shape[1]
+        j = jnp.clip(idx, 0, N - 1)
+        obs = map_state.kf_obs_pt[cand][j]
+        from boslam_tpu.geometry import camera as cam_mod
+        xc = cam_mod.backproject(
+            cfg.camera, map_state.kf_uv[cand][j], map_state.kf_depth[cand][j]
+        )
+        xw_bp = se3.pose_apply(se3.pose_inv(map_state.kf_pose[cand])[None], xc)
+        has_pt = obs >= 0
+        pts_w = jnp.where(
+            has_pt[:, None], map_state.pt_xyz[jnp.clip(obs, 0, P - 1)], xw_bp
+        )
+        return pts_w, idx, ok
+
+    def global_path(_):
+        dist = hamming.hamming_matrix_mxu(feats.desc, map_state.pt_desc)
+        idx, ok, _ = hamming.match_top2(
+            dist, feats.valid & feats.has_depth, map_state.pt_valid,
+            max_dist=cfg.matcher.hamming_low, ratio=0.85, mutual=True,
+        )
+        ok = rotation.rotation_consistency(
+            feats.angle,
+            map_state.pt_angle[jnp.clip(idx, 0, P - 1)],
+            ok,
+        )
+        idx = jnp.where(ok, idx, -1)
+        return map_state.pt_xyz[jnp.clip(idx, 0, P - 1)], idx, ok
+
+    pts_w, idx, ok = jax.lax.cond(
+        loop_state.vocab_ready, bow_path, global_path, None
+    )
+    good, pose, n_inl = _reloc_solve(cfg, pts_w, feats, idx, ok, key)
     new_track = track._replace(
-        pose_cw=jnp.where(good, refined.pose, track.pose_cw),
+        pose_cw=jnp.where(good, pose, track.pose_cw),
         velocity=se3.pose_identity(),
         status=jnp.where(good, ST_OK, ST_LOST).astype(jnp.int32),
         frame_idx=track.frame_idx + 1,
     )
-    return new_track, good, refined.n_inliers
+    return new_track, good, n_inl

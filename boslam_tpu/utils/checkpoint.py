@@ -37,6 +37,12 @@ def save(path: str, slam) -> None:
             else np.zeros((0, 7), np.float32)
         ),
         "n_loops_closed": np.asarray(slam.n_loops_closed),
+        "frame_ref_slot": np.asarray([r[0] for r in slam.frame_refs], np.int32),
+        "frame_ref_seq": np.asarray([r[1] for r in slam.frame_refs], np.int32),
+        "frame_ref_rel": (
+            np.stack([r[2] for r in slam.frame_refs])
+            if slam.frame_refs else np.zeros((0, 7), np.float32)
+        ),
     }
     ckptr.save(path, state, force=True)
 
@@ -60,7 +66,21 @@ def restore(path: str, slam) -> None:
         **{k: jnp.asarray(v) for k, v in state["track"].items()}
     )
     slam.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
-    slam._vocab_ready_host = bool(np.asarray(state["loop"]["vocab_ready"]))
+    # Resume the vocabulary-refresh schedule from the restored map size.
+    slam._vocab_trained_at = (
+        int(np.asarray(state["map"]["n_kf"]))
+        if bool(np.asarray(state["loop"]["vocab_ready"]))
+        else -1
+    )
     slam.timestamps = list(np.asarray(state["timestamps"]))
     slam.poses_twc = [p for p in np.asarray(state["poses_twc"])]
     slam.n_loops_closed = int(state["n_loops_closed"])
+    if "frame_ref_slot" in state:
+        slam.frame_refs = [
+            (int(s), int(q), np.asarray(r))
+            for s, q, r in zip(
+                np.asarray(state["frame_ref_slot"]),
+                np.asarray(state["frame_ref_seq"]),
+                np.asarray(state["frame_ref_rel"]),
+            )
+        ]

@@ -75,3 +75,14 @@ def test_loop_closure_fires():
     assert not any(m.get("lost", False) for m in slam.metrics)
     assert float(rmse) < 0.05, f"ATE {float(rmse):.4f} m"
     assert slam.n_loops_closed >= 1, "no loop closure fired"
+
+
+def test_global_ba_hook(orbit_run):
+    """SlamSystem.run_global_ba (reference optional post-loop global BA,
+    §3.4) runs on live engine state and does not increase the map cost."""
+    import copy
+
+    _, slam = orbit_run
+    rec = slam.run_global_ba()
+    assert rec["gba_edges"] > 100
+    assert rec["gba_cost1"] <= rec["gba_cost0"] * 1.01
