@@ -186,3 +186,6 @@ class SlamConfig:
 TUM_FR1 = CameraConfig(fx=517.3, fy=516.5, cx=318.6, cy=255.3)
 TUM_FR2 = CameraConfig(fx=520.9, fy=521.0, cx=325.1, cy=249.7)
 TUM_FR3 = CameraConfig(fx=535.4, fy=539.2, cx=320.1, cy=247.6)
+# ICL-NUIM synthetic living-room / office sequences (PNG exports fold the
+# POV-Ray negative-fy convention out; depth factor 5000 like TUM).
+ICL_NUIM = CameraConfig(fx=481.20, fy=480.00, cx=319.50, cy=239.50)

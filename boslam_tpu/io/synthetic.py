@@ -188,3 +188,109 @@ def render_sequence(
             )
         frames.append((float(ts), rgb, depth))
     return frames
+
+
+def synthetic_ba_problem(cfg, rng, n_kf: int, n_pts: int, obs_per_kf: int,
+                         pose_noise: float = 0.01, pt_noise: float = 0.02,
+                         px_noise: float = 0.3):
+    """Large-scale synthetic bundle-adjustment MapState (BASELINE config 4:
+    50k+ landmark global BA without a dataset on disk).
+
+    Scatters ``n_pts`` landmarks in a box, walks ``n_kf`` camera poses
+    through it, gives every keyframe ``obs_per_kf`` observations of visible
+    points (uv from exact projection + px_noise), then perturbs poses and
+    points — the global-BA workload is recovering the exact geometry.
+
+    Returns (MapState, gt_poses [n_kf, 7], gt_pts [n_pts, 3]).
+    """
+    import jax.numpy as jnp
+
+    from boslam_tpu.geometry import camera as cam_mod
+    from boslam_tpu.geometry import se3
+    from boslam_tpu.mapping import empty_map
+
+    cam = cfg.camera
+    K = cfg.map.max_keyframes
+    P = cfg.map.max_points
+    N = cfg.orb.n_features
+    assert n_kf <= K and n_pts <= P and obs_per_kf <= N
+
+    pts = np.stack([
+        rng.uniform(-6.0, 6.0, n_pts),
+        rng.uniform(-2.5, 2.5, n_pts),
+        rng.uniform(-6.0, 6.0, n_pts),
+    ], -1).astype(np.float32)
+
+    # Camera ring inside the box looking outward: every point seen from a
+    # handful of poses.
+    gt_poses = []
+    for k in range(n_kf):
+        a = 2 * np.pi * k / n_kf
+        xi = np.array([0.0, a, 0.0, 0.4 * np.cos(a), 0.0, 0.4 * np.sin(a)])
+        gt_poses.append(np.asarray(se3.exp(jnp.asarray(xi))))
+    gt_poses = np.array(gt_poses, np.float32)
+
+    st = empty_map(cfg)
+    kf_pose = np.asarray(st.kf_pose).copy()
+    kf_uv = np.asarray(st.kf_uv).copy()
+    kf_depth = np.asarray(st.kf_depth).copy()
+    kf_obs = np.asarray(st.kf_obs_pt).copy()
+    kf_kpv = np.asarray(st.kf_kp_valid).copy()
+    kf_valid = np.asarray(st.kf_valid).copy()
+    kf_seq = np.asarray(st.kf_seq).copy()
+    obs_count = np.zeros(n_pts, np.int64)
+    # All projections in one numpy pass (a per-KF device loop costs minutes
+    # at 256 x 50k scale).
+    R_all = np.asarray(se3.quat_to_mat(jnp.asarray(gt_poses[:, :4])))
+    xc_all = np.einsum("kij,pj->kpi", R_all, pts) + gt_poses[:, None, 4:]
+    z_all = xc_all[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u_all = cam.fx * xc_all[..., 0] / z_all + cam.cx
+        v_all = cam.fy * xc_all[..., 1] / z_all + cam.cy
+    vis_all = (
+        (z_all > cam.depth_min) & (z_all < cam.depth_max)
+        & (u_all >= 1) & (u_all < cam.width - 1)
+        & (v_all >= 1) & (v_all < cam.height - 1)
+    )
+    for k in range(n_kf):
+        xc = xc_all[k]
+        uv = np.stack([u_all[k], v_all[k]], -1)
+        cand = np.where(vis_all[k])[0]
+        # Prefer under-observed points so coverage stays uniform.
+        order = np.argsort(obs_count[cand] + rng.uniform(0, 0.5, len(cand)))
+        take = cand[order[:obs_per_kf]]
+        obs_count[take] += 1
+        s = len(take)
+        kf_pose[k] = gt_poses[k]
+        kf_uv[k, :s] = uv[take] + rng.normal(0, px_noise, (s, 2))
+        kf_depth[k, :s] = xc[take, 2] * (1 + rng.normal(0, 0.002, s))
+        kf_obs[k, :s] = take
+        kf_kpv[k, :s] = True
+        kf_valid[k] = True
+        kf_seq[k] = k
+
+    seen = obs_count >= 2
+    # Drop under-constrained points from the problem.
+    kf_obs = np.where(
+        (kf_obs >= 0) & seen[np.clip(kf_obs, 0, n_pts - 1)], kf_obs, -1
+    )
+    pt_xyz = np.asarray(st.pt_xyz).copy()
+    pt_valid = np.asarray(st.pt_valid).copy()
+    pt_xyz[:n_pts] = pts + rng.normal(0, pt_noise, pts.shape)
+    pt_valid[:n_pts] = seen
+
+    init_pose = kf_pose.copy()
+    for k in range(1, n_kf):
+        xi = rng.normal(0, pose_noise, 6)
+        init_pose[k] = np.asarray(
+            se3.retract(jnp.asarray(kf_pose[k]), jnp.asarray(xi))
+        )
+
+    st = st._replace(
+        kf_pose=jnp.asarray(init_pose), kf_uv=jnp.asarray(kf_uv),
+        kf_depth=jnp.asarray(kf_depth), kf_obs_pt=jnp.asarray(kf_obs),
+        kf_kp_valid=jnp.asarray(kf_kpv), kf_valid=jnp.asarray(kf_valid),
+        kf_seq=jnp.asarray(kf_seq), n_kf=jnp.asarray(n_kf, np.int32),
+        pt_xyz=jnp.asarray(pt_xyz), pt_valid=jnp.asarray(pt_valid),
+    )
+    return st, jnp.asarray(gt_poses), jnp.asarray(pts)

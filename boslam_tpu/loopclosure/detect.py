@@ -133,4 +133,4 @@ def verify_loop(cfg: SlamConfig, map_state, kf_cur, kf_cand, key):
     # chi2 inlier gate: both must clear for the edge to enter the pose graph.
     enough_matches = jnp.sum(ok) >= lc.min_score_matches
     good = res.ok & enough_matches & (refined.n_inliers >= lc.se3_inliers)
-    return good, refined.pose, refined.n_inliers
+    return good, refined.pose, refined.n_inliers, idx, refined.inliers & ok

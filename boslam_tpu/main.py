@@ -19,9 +19,11 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser(description="boslam_tpu RGBD SLAM")
     ap.add_argument("--tum", type=str, help="TUM sequence directory")
+    ap.add_argument("--icl", type=str, help="ICL-NUIM sequence directory")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run N synthetic frames instead of a dataset")
-    ap.add_argument("--camera", choices=["fr1", "fr2", "fr3"], default="fr1")
+    ap.add_argument("--camera", choices=["fr1", "fr2", "fr3", "icl"],
+                    default="fr1")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--out", type=str, default="trajectory.txt")
     ap.add_argument("--metrics", type=str, default=None)
@@ -36,15 +38,21 @@ def main() -> None:
                     help="run full-map BA after loop closures AND at exit")
     args = ap.parse_args()
 
-    from boslam_tpu.config import SlamConfig, TUM_FR1, TUM_FR2, TUM_FR3
+    from boslam_tpu.config import (
+        ICL_NUIM, SlamConfig, TUM_FR1, TUM_FR2, TUM_FR3,
+    )
     from boslam_tpu.geometry import align
+    from boslam_tpu.io import icl_nuim
     from boslam_tpu.io import synthetic as synth
     from boslam_tpu.io import tum
     from boslam_tpu.slam import SlamSystem
     from boslam_tpu.utils import checkpoint as ckpt
     from boslam_tpu.utils.metrics import dump_metrics, profile_trace, summarize
 
-    cam = {"fr1": TUM_FR1, "fr2": TUM_FR2, "fr3": TUM_FR3}[args.camera]
+    if args.icl:
+        args.camera = "icl"
+    cam = {"fr1": TUM_FR1, "fr2": TUM_FR2, "fr3": TUM_FR3,
+           "icl": ICL_NUIM}[args.camera]
     cfg = SlamConfig(camera=cam)
     if args.global_ba:
         import dataclasses
@@ -65,8 +73,16 @@ def main() -> None:
             gt = (gt_ts, gt_poses)
         except OSError:
             pass
+    elif args.icl:
+        frames = icl_nuim.sequence(
+            args.icl, cfg.camera.depth_factor, limit=args.limit
+        )
+        try:
+            gt = icl_nuim.read_groundtruth(args.icl)
+        except OSError:
+            pass
     else:
-        ap.error("need --tum or --synthetic")
+        ap.error("need --tum, --icl or --synthetic")
 
     slam = SlamSystem(cfg, seed=args.seed)
     if args.resume:

@@ -35,10 +35,7 @@ from boslam_tpu.loopclosure import (
 )
 from boslam_tpu.mapping import empty_map, map_ops
 from boslam_tpu.solvers.local_ba import local_bundle_adjustment
-from boslam_tpu.solvers.pose_graph import (
-    add_loop_edge, apply_pose_correction, build_essential_edges,
-    optimize_pose_graph,
-)
+from boslam_tpu.solvers.pose_graph import close_loop_update
 from boslam_tpu.tracking import init_track_state, relocalize, track_frame
 from boslam_tpu.tracking.tracker import ST_LOST, ST_OK, ST_UNINIT
 
@@ -368,41 +365,26 @@ class SlamSystem:
         if cand < 0:
             return False
         self.key, k = jax.random.split(self.key)
-        ok, t_rel, n_inl = verify_loop(
+        ok, t_rel, n_inl, midx, mok = verify_loop(
             self.cfg, self.map, jnp.asarray(kf_id), jnp.asarray(cand), k
         )
         self.metrics[-1]["loop_inliers"] = int(n_inl)
         if not bool(ok):
             return False
-        self._close_loop(kf_id, cand, t_rel)
+        self._close_loop(kf_id, cand, t_rel, midx, mok)
         return True
 
-    def _close_loop(self, kf_id: int, cand: int, t_rel) -> None:
-        """Correct the loop: pose-graph optimization over the essential
-        graph + the new loop edge (reference correct_loop, §3.4)."""
+    def _close_loop(self, kf_id: int, cand: int, t_rel, midx, mok) -> None:
+        """Correct the loop (reference correct_loop, §3.4): point fusion +
+        loop edge + essential-graph optimization + map propagation, fused
+        into ONE jitted device call (close_loop_update)."""
         cfg = self.cfg
-        edges = build_essential_edges(cfg, self.map)
-        self.map = add_loop_edge(
-            self.map, jnp.asarray(kf_id, jnp.int32),
-            jnp.asarray(cand, jnp.int32), t_rel,
+        self.map, pose_kf = close_loop_update(
+            cfg, self.map, jnp.asarray(kf_id, jnp.int32),
+            jnp.asarray(cand, jnp.int32), t_rel, midx, mok,
         )
-        edges = edges._replace(
-            i=jnp.concatenate([edges.i, jnp.asarray([kf_id], jnp.int32)]),
-            j=jnp.concatenate([edges.j, jnp.asarray([cand], jnp.int32)]),
-            t_meas=jnp.concatenate([edges.t_meas, t_rel[None]]),
-            weight=jnp.concatenate([edges.weight, jnp.asarray([200.0])]),
-            valid=jnp.concatenate([edges.valid, jnp.asarray([True])]),
-        )
-        corrected = se3.pose_compose(t_rel, self.map.kf_pose[cand])
-        init = self.map.kf_pose.at[kf_id].set(corrected)
-        K = init.shape[0]
-        fixed = jnp.zeros(K, bool).at[0].set(True).at[cand].set(True)
-        new_poses = optimize_pose_graph(
-            cfg, init, self.map.kf_valid, edges, fixed
-        )
-        self.map = apply_pose_correction(cfg, self.map, new_poses)
         self.track = self.track._replace(
-            pose_cw=self.map.kf_pose[kf_id], velocity=se3.pose_identity()
+            pose_cw=pose_kf, velocity=se3.pose_identity()
         )
         self.n_loops_closed += 1
         self.metrics[-1]["event"] = "loop_closed"

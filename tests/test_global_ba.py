@@ -93,3 +93,24 @@ def test_global_ba_converges(rng):
     # KF0 is the gauge anchor and must not move.
     dr0, dt0 = se3.pose_distance(st2.kf_pose[0], st.kf_pose[0])
     assert float(dt0) < 1e-7
+
+
+def test_global_ba_scale_synthetic(rng):
+    """Config-4-in-miniature: the synthetic_ba_problem generator + global BA
+    recover geometry at a few-thousand-landmark scale (the 50k/256-KF run is
+    the bench; CI keeps shapes CPU-friendly)."""
+    from boslam_tpu.io.synthetic import synthetic_ba_problem
+
+    cfg = SlamConfig(
+        camera=CAM,
+        orb=OrbConfig(n_features=128, n_levels=3),
+        map=MapConfig(max_keyframes=32, max_points=4096),
+    )
+    st, gt_poses, gt_pts = synthetic_ba_problem(
+        cfg, rng, n_kf=24, n_pts=800, obs_per_kf=128, pose_noise=0.02
+    )
+    st2, stats = global_bundle_adjustment(cfg, st, lm_iters=6, cg_iters=40)
+    assert float(stats.cost1) < 0.05 * float(stats.cost0)
+    dr, dt = se3.pose_distance(st2.kf_pose[:24], gt_poses)
+    dr0, dt0 = se3.pose_distance(st.kf_pose[:24], gt_poses)
+    assert float(jnp.max(dt)) < 0.3 * float(jnp.max(dt0))

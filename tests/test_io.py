@@ -94,3 +94,49 @@ def test_trajectories():
     t2 = synthetic.random_walk_trajectory(50, seed=3)
     q_norms = np.linalg.norm(t2.poses_twc[:, :4], axis=-1)
     np.testing.assert_allclose(q_norms, 1.0, atol=1e-6)
+
+
+def test_icl_nuim_loader(tmp_path):
+    """ICL-NUIM loader handles both layouts (TUM-compatible + raw numbered)."""
+    import cv2
+    import os
+    from boslam_tpu.io import icl_nuim
+
+    # --- raw layout: rgb/<n>.png + depth/<n>.png --------------------------
+    root = tmp_path / "icl_raw"
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        rgb = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        d16 = (rng.uniform(0.5, 3.0, (48, 64)) * 5000).astype(np.uint16)
+        cv2.imwrite(str(root / "rgb" / f"{i}.png"), rgb)
+        cv2.imwrite(str(root / "depth" / f"{i}.png"), d16)
+    frames = list(icl_nuim.sequence(str(root), limit=2))
+    assert len(frames) == 2
+    ts, rgb, depth = frames[0]
+    assert rgb.shape == (48, 64, 3) and depth.shape == (48, 64)
+    assert 0.4 < depth.mean() < 3.1
+
+    # --- groundtruth discovery (.gt.freiburg) ------------------------------
+    with open(root / "livingroom.gt.freiburg", "w") as f:
+        f.write("0 0.1 0.2 0.3 0 0 0 1\n1 0.2 0.2 0.3 0 0 0 1\n")
+    gt_ts, gt_poses = icl_nuim.read_groundtruth(str(root))
+    assert gt_poses.shape == (2, 7)
+    assert abs(gt_poses[0][4] - 0.1) < 1e-9  # tx into slot 4 (qw first)
+
+    # --- TUM-compatible layout forwards to the TUM machinery --------------
+    root2 = tmp_path / "icl_tum"
+    root2.mkdir()
+    (root2 / "rgb").mkdir()
+    (root2 / "depth").mkdir()
+    with open(root2 / "rgb.txt", "w") as fr, open(root2 / "depth.txt", "w") as fd:
+        for i in range(2):
+            rgb = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            d16 = (rng.uniform(0.5, 3.0, (48, 64)) * 5000).astype(np.uint16)
+            cv2.imwrite(str(root2 / "rgb" / f"{i}.png"), rgb)
+            cv2.imwrite(str(root2 / "depth" / f"{i}.png"), d16)
+            fr.write(f"{i * 0.05:.2f} rgb/{i}.png\n")
+            fd.write(f"{i * 0.05:.2f} depth/{i}.png\n")
+    frames2 = list(icl_nuim.sequence(str(root2)))
+    assert len(frames2) == 2
