@@ -67,12 +67,15 @@ O_REL0 = 24          # [24:31] T_cur_ref = T_cw(frame) ∘ T_wc(ref keyframe):
 OUT_DIM = 31
 
 
-@functools.partial(
-    jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4, 5)
-)
-def _fused_frame_step(cfg: SlamConfig, input_mode: str, map_state,
-                      loop_state, track, key, img, depth_u16):
-    """Process one RGBD frame fully on device.
+def frame_step_core(cfg: SlamConfig, input_mode: str, map_state,
+                    loop_state, track, key, img, depth_u16):
+    """Process one RGBD frame fully on device (pure function).
+
+    The single-sequence engine jits this as ``_fused_frame_step``; the
+    multi-sequence engine (parallel/multi.py, BASELINE config 5) runs it
+    under ``shard_map`` over the mesh 'seq' axis — per-shard scalars keep
+    the lax.cond keyframe/loop branches REAL branches instead of vmap's
+    execute-both-sides select.
 
     Returns (map', loop', track', key', row[OUT_DIM] f32).  All
     data-dependent control flow (status switch, keyframe decision, loop
@@ -204,6 +207,11 @@ def _fused_frame_step(cfg: SlamConfig, input_mode: str, map_state,
     )
     row = jax.lax.dynamic_update_slice(row, rel, (O_REL0,))
     return map_state, loop_state, track, key, row
+
+
+_fused_frame_step = functools.partial(
+    jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4, 5)
+)(frame_step_core)
 
 
 class SlamSystem:
