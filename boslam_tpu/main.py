@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--global-ba", action="store_true",
                     help="run full-map BA after loop closures AND at exit")
+    ap.add_argument("--viz", type=str, default=None,
+                    help="render the final 3D map + trajectory to this PNG")
     args = ap.parse_args()
 
     from boslam_tpu.config import (
@@ -134,6 +136,16 @@ def main() -> None:
 
     if args.metrics:
         dump_metrics(args.metrics, slam.metrics)
+
+    if args.viz:
+        from boslam_tpu.viz import render_map
+
+        render_map(
+            slam.map, trajectory=poses,
+            groundtruth=gt[1] if (gt is not None and args.synthetic) else None,
+            out_path=args.viz,
+        )
+        print(f"wrote map view to {args.viz}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -55,7 +55,7 @@ def make_batched_step(cfg: SlamConfig, mesh: Mesh):
     def body(ms, ls, tr, key, img, d16):
         sq = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
         ms, ls, tr, k, row = frame_step_core(
-            cfg, "gray", sq(ms), sq(ls), sq(tr), key[0], img[0], d16[0]
+            cfg, sq(ms), sq(ls), sq(tr), key[0], img[0], d16[0]
         )
         ex = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
         return ex(ms), ex(ls), ex(tr), k[None], row[None]

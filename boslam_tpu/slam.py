@@ -67,7 +67,7 @@ O_REL0 = 24          # [24:31] T_cur_ref = T_cw(frame) ∘ T_wc(ref keyframe):
 OUT_DIM = 31
 
 
-def frame_step_core(cfg: SlamConfig, input_mode: str, map_state,
+def frame_step_core(cfg: SlamConfig, map_state,
                     loop_state, track, key, img, depth_u16):
     """Process one RGBD frame fully on device (pure function).
 
@@ -83,17 +83,12 @@ def frame_step_core(cfg: SlamConfig, input_mode: str, map_state,
     row (SURVEY.md §7.0: decisions come back as scalars, compute stays
     masked on device).
 
-    Frames arrive in their compact wire format — u8 RGB (or u8 gray) and
-    u16 depth at the TUM depth_factor encoding — and are converted on
-    device: the H2D hop over the remote-TPU tunnel is bandwidth-bound
-    (f32 pair 7.2 ms/frame vs 2.1 ms for u8 RGB + u16), and u8 gray /
-    u16 depth is exactly what the reference's cv2 pipeline consumes.
+    Frames arrive in their compact wire format — u8 gray and u16 depth at
+    the TUM depth_factor encoding (the host converts RGB to gray: 3x fewer
+    bytes over the bandwidth-bound H2D tunnel hop) — and are upcast on
+    device.
     """
-    if input_mode == "rgb":                    # [H, W, 3] u8 -> BT.601 gray
-        w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
-        gray = img.astype(jnp.float32) @ w
-    else:                                      # [H, W] u8 gray
-        gray = img.astype(jnp.float32)
+    gray = img.astype(jnp.float32)
     depth = depth_u16.astype(jnp.float32) * (1.0 / cfg.camera.depth_factor)
     feats = extract_features(gray, depth, cfg)
     key, sub = jax.random.split(key)
@@ -210,7 +205,7 @@ def frame_step_core(cfg: SlamConfig, input_mode: str, map_state,
 
 
 _fused_frame_step = functools.partial(
-    jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4, 5)
+    jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3, 4)
 )(frame_step_core)
 
 
@@ -251,7 +246,6 @@ class SlamSystem:
         the host only quantizes (cheap casts) to the compact wire format.
         """
         t0 = time.perf_counter()
-        mode = "gray"
         if rgb.ndim == 3:
             # BT.601 gray on host: 3x fewer wire bytes than u8 RGB (the
             # H2D link is the scarce resource; the cast is ~1 ms numpy).
@@ -276,8 +270,7 @@ class SlamSystem:
                 ).astype(np.uint16)
             )
         self.map, self.loop, self.track, self.key, row = _fused_frame_step(
-            self.cfg, mode, self.map, self.loop, self.track, self.key,
-            img, d16,
+            self.cfg, self.map, self.loop, self.track, self.key, img, d16,
         )
         # Start the D2H copy of the stats row NOW, without blocking: by
         # flush() time the bytes have already crossed the tunnel, so the

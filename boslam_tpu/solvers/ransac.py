@@ -44,6 +44,63 @@ class RansacResult(NamedTuple):
     ok: jnp.ndarray         # scalar bool (enough inliers found)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 7, 9))
+def ransac_pnp(
+    cfg,
+    pts_w,
+    uv,
+    xyz_cam,
+    has_depth,
+    mask,
+    key,
+    n_hypotheses: int = 128,
+    threshold: float = None,
+    min_inliers: int = 12,
+) -> RansacResult:
+    """RANSAC PnP: 2D-3D pose with REPROJECTION-scored consensus.
+
+    Replaces ``cv2.solvePnPRansac`` (SURVEY.md §2.2): hypotheses come from
+    minimal 3-point 3D-3D alignments on depth-backed correspondences (the
+    RGBD privilege — no polynomial P3P needed), but the consensus set is
+    scored by PIXEL reprojection of ALL matched keypoints, so depthless
+    keypoints vote too and the inlier bound is the config's
+    ``tracker.ransac_threshold`` pixels.
+
+    Args:
+      pts_w: [N, 3] matched world points; uv: [N, 2] observed pixels;
+      xyz_cam: [N, 3] camera-frame backprojections (0 where no depth);
+      has_depth: [N] bool; mask: [N] bool valid correspondences.
+    """
+    from boslam_tpu.geometry import camera as cam_mod
+
+    px = cfg.tracker.ransac_threshold if threshold is None else threshold
+    n = pts_w.shape[0]
+    m3 = (mask & has_depth).astype(jnp.float32)
+    p = m3 / jnp.maximum(jnp.sum(m3), 1e-9)
+    idx = jax.random.choice(key, n, shape=(n_hypotheses, 3), p=p)
+
+    def score(pose):
+        xc = se3.pose_apply(pose[None], pts_w)
+        uv_pred = cam_mod.project(cfg.camera, xc)
+        err = jnp.linalg.norm(uv_pred - uv, axis=-1)
+        return (err < px) & (xc[..., 2] > 1e-3) & mask
+
+    def hypothesis(tri):
+        pose = umeyama_fixed_scale(pts_w[tri], xyz_cam[tri], jnp.ones(3))
+        return jnp.sum(score(pose)), pose
+
+    scores, poses = jax.vmap(hypothesis)(idx)
+    best = jnp.argmax(scores)
+    pose = poses[best]
+    # Refine on the 3D-capable subset of the winning 2D consensus.
+    for _ in range(2):
+        w = (score(pose) & has_depth).astype(jnp.float32)
+        pose = umeyama_fixed_scale(pts_w, xyz_cam, w + 1e-9)
+    inliers = score(pose)
+    n_inl = jnp.sum(inliers).astype(jnp.int32)
+    return RansacResult(pose, inliers, n_inl, n_inl >= min_inliers)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 6))
 def ransac_se3(
     src,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from boslam_tpu.config import SlamConfig
 from boslam_tpu.geometry import se3
 from boslam_tpu.matching import hamming, projection, rotation
-from boslam_tpu.solvers import optimize_pose, ransac_se3
+from boslam_tpu.solvers import optimize_pose, ransac_pnp, ransac_se3
 
 ST_UNINIT, ST_OK, ST_LOST = 0, 1, 2
 
@@ -170,11 +170,12 @@ def track_frame(cfg: SlamConfig, map_state, track: TrackState, feats):
 
 
 def _reloc_solve(cfg: SlamConfig, pts_w, feats, idx, ok, key):
-    """Shared tail of relocalization: 3D-3D RANSAC + robust GN refine."""
-    res = ransac_se3(
-        pts_w, feats.xyz, ok, key,
+    """Shared tail of relocalization: RANSAC PnP (2D-reprojection-scored
+    consensus, hypotheses from depth-backed minimal sets — the reference's
+    solvePnPRansac role) + robust GN refine."""
+    res = ransac_pnp(
+        cfg, pts_w, feats.uv, feats.xyz, feats.has_depth, ok, key,
         n_hypotheses=cfg.tracker.ransac_iters,
-        threshold=cfg.loop.se3_threshold,
         min_inliers=cfg.tracker.min_inliers,
     )
     refined = optimize_pose(
@@ -210,8 +211,10 @@ def relocalize(cfg: SlamConfig, map_state, loop_state, track: TrackState,
         )
         scores = loop_state.kf_bow @ frame_bow
         cand = jnp.argmax(jnp.where(map_state.kf_valid, scores, -1.0))
+        # Depthless frame keypoints can match too: the PnP consensus is
+        # reprojection-scored, so they vote without a 3D backprojection.
         idx, ok, _ = bow_mod.search_by_bow(
-            loop_state.vocab, feats.desc, feats.valid & feats.has_depth,
+            loop_state.vocab, feats.desc, feats.valid,
             map_state.kf_desc[cand],
             map_state.kf_kp_valid[cand] & (map_state.kf_depth[cand] > 0),
             max_dist=cfg.matcher.hamming_high, ratio=0.9,

@@ -158,3 +158,26 @@ def test_update_track_stats_scatter():
     assert int(st.pt_n_found[7]) == 1
     assert int(st.pt_n_vis[5]) == 1
     assert int(st.pt_n_vis[0]) == 0
+
+
+def test_map_state_shapes_chex():
+    """chex structural assertions on the MapState pytree (SURVEY §5.2)."""
+    import chex
+
+    st = empty_map(CFG)
+    K, P, N = CFG.map.max_keyframes, CFG.map.max_points, CFG.orb.n_features
+    chex.assert_shape(st.kf_pose, (K, 7))
+    chex.assert_shape(st.kf_desc, (K, N, 8))
+    chex.assert_shape(st.kf_obs_pt, (K, N))
+    chex.assert_shape(st.pt_xyz, (P, 3))
+    chex.assert_shape(st.covis, (K, K))
+    chex.assert_type(st.kf_desc, jnp.uint32)
+    chex.assert_type(st.kf_seq, jnp.int32)
+    rgb, depth = synthetic.render_frame(CAM, np.array([1.0, 0, 0, 0, 0, 0, 0]))
+    f = extract(rgb, depth)
+    chex.assert_shape(f.desc, (CFG.orb.n_features, 8))
+    chex.assert_tree_all_finite((f.uv, f.xyz, f.depth))
+    mp, ok = no_match(CFG.orb.n_features)
+    st2, slot = map_ops.insert_keyframe(CFG, st, f, se3.pose_identity(), mp, ok, 0)
+    chex.assert_trees_all_equal_shapes(st, st2)
+    chex.assert_tree_all_finite(st2.pt_xyz)

@@ -132,3 +132,39 @@ def test_ransac_se3_respects_mask(rng):
     dr, dt = pose_err(res.pose, T_gt)
     assert dr < 1e-3 and dt < 1e-3
     assert int(res.n_inliers) == 30
+
+
+def test_ransac_pnp_reprojection_scored(rng):
+    """ransac_pnp recovers a pose from 2D-3D matches with 30% outliers and
+    depth on only half the keypoints (reference solvePnPRansac role)."""
+    import numpy as np
+    from boslam_tpu.config import SlamConfig
+    from boslam_tpu.geometry import camera as cam_mod
+    from boslam_tpu.geometry import se3
+    from boslam_tpu.solvers import ransac_pnp
+
+    cfg = SlamConfig()
+    cam = cfg.camera
+    n = 200
+    pts_w = jnp.asarray(np.stack([
+        rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(2, 6, n)
+    ], -1).astype(np.float32))
+    gt = se3.exp(jnp.asarray(np.array([0.05, -0.03, 0.02, 0.1, -0.05, 0.15])))
+    xc = se3.pose_apply(gt[None], pts_w)
+    uv = cam_mod.project(cam, xc)
+    uv = uv + jnp.asarray(rng.normal(0, 0.3, (n, 2)).astype(np.float32))
+    has_depth = jnp.asarray(rng.uniform(size=n) < 0.5)
+    xyz_cam = jnp.where(has_depth[:, None], xc, 0.0)
+    # 30% outliers: scramble their pixels.
+    out_mask = rng.uniform(size=n) < 0.3
+    uv = jnp.where(jnp.asarray(out_mask)[:, None],
+                   jnp.asarray(rng.uniform(0, 400, (n, 2)).astype(np.float32)), uv)
+    res = ransac_pnp(cfg, pts_w, uv, xyz_cam, has_depth,
+                     jnp.ones(n, bool), jax.random.key(0))
+    assert bool(res.ok)
+    dr, dt = se3.pose_distance(res.pose[None], gt[None])
+    assert float(dt[0]) < 5e-3 and float(dr[0]) < 5e-3
+    # Outliers excluded from the consensus, inliers retained.
+    inl = np.asarray(res.inliers)
+    assert inl[~out_mask].mean() > 0.9
+    assert inl[out_mask].mean() < 0.1

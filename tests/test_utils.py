@@ -59,3 +59,29 @@ def test_metrics_summary(tmp_path):
     dump_metrics(str(p), metrics)
     lines = [json.loads(line) for line in open(p)]
     assert len(lines) == 4 and lines[2]["event"] == "keyframe"
+
+
+def test_viewer_renders_png(tmp_path):
+    """viz.render_map produces a non-trivial PNG from a live MapState."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from boslam_tpu.config import SlamConfig, MapConfig, OrbConfig
+    from boslam_tpu.mapping import empty_map
+    from boslam_tpu.viz import render_map
+
+    cfg = SlamConfig(map=MapConfig(max_keyframes=8, max_points=256),
+                     orb=OrbConfig(n_features=64))
+    st = empty_map(cfg)
+    rng = np.random.default_rng(0)
+    st = st._replace(
+        pt_xyz=jnp.asarray(rng.uniform(-1, 1, (256, 3)).astype(np.float32)),
+        pt_valid=jnp.ones(256, bool),
+        kf_valid=st.kf_valid.at[0].set(True),
+    )
+    traj = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (5, 1))
+    traj[:, 4] = np.linspace(0, 1, 5)
+    out = render_map(st, trajectory=traj, out_path=str(tmp_path / "m.png"))
+    import os
+
+    assert os.path.getsize(out) > 10000
