@@ -66,11 +66,16 @@ def sequence(
     depth_factor: float = ICL_DEPTH_FACTOR,
     limit: Optional[int] = None,
     fps: float = 30.0,
+    native: Optional[bool] = False,
 ) -> Iterator[Tuple[float, np.ndarray, np.ndarray]]:
-    """Iterate (timestamp, rgb u8 [H,W,3], depth f32 metres [H,W])."""
+    """Iterate (timestamp, image, depth f32 metres [H,W]).
+
+    ``native`` as in tum.sequence: None = auto-use the C++ prefetching
+    decoder when it loads (yields gray f32 images), False (default) = cv2
+    (rgb u8)."""
     if os.path.exists(os.path.join(root, "rgb.txt")):
         # TUM-compatible export: same association machinery.
-        yield from tum.sequence(root, depth_factor, limit=limit)
+        yield from tum.sequence(root, depth_factor, limit=limit, native=native)
         return
     rgbs = _numbered(os.path.join(root, "rgb"))
     depths = dict(_numbered(os.path.join(root, "depth")))
@@ -80,14 +85,34 @@ def sequence(
         )
     import cv2  # host-side decode only
 
-    n = 0
-    for idx, rgb_path in rgbs:
-        if idx not in depths:
-            continue
+    paired = [(idx, p, depths[idx]) for idx, p in rgbs if idx in depths]
+    if limit is not None:
+        paired = paired[:limit]
+    if native is None or native:
+        from boslam_tpu.runtime import native as native_mod
+
+        use_native = native_mod.available()
+        if native and not use_native:
+            raise RuntimeError("native runtime requested but unavailable")
+    else:
+        use_native = False
+    if use_native and paired:
+        from boslam_tpu.runtime.native import NativeLoader
+
+        rgb0 = cv2.imread(paired[0][1], cv2.IMREAD_COLOR)
+        h, w = rgb0.shape[:2]
+        loader = NativeLoader(
+            [p for _, p, _ in paired], [d for _, _, d in paired],
+            w, h, depth_factor,
+        )
+        try:
+            for (idx, _, _), (gray, depth) in zip(paired, loader):
+                yield idx / fps, gray, depth
+        finally:
+            loader.close()
+        return
+    for idx, rgb_path, depth_path in paired:
         rgb = cv2.imread(rgb_path, cv2.IMREAD_COLOR)[:, :, ::-1].copy()
-        d16 = cv2.imread(depths[idx], cv2.IMREAD_UNCHANGED)
+        d16 = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
         depth = d16.astype(np.float32) / depth_factor
         yield idx / fps, rgb, depth
-        n += 1
-        if limit is not None and n >= limit:
-            return

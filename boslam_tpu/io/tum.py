@@ -82,8 +82,18 @@ def sequence(
     depth_factor: float = 5000.0,
     max_dt: float = 0.02,
     limit: Optional[int] = None,
+    native: Optional[bool] = False,
 ) -> Iterator[Tuple[float, np.ndarray, np.ndarray]]:
-    """Iterate (timestamp, rgb u8 [H,W,3], depth f32 metres [H,W])."""
+    """Iterate (timestamp, image, depth f32 metres [H,W]).
+
+    ``native`` selects the C++ prefetching decoder (runtime/loader.cpp):
+    worker threads decode PNGs ahead of the tracking loop, overlapping
+    dataset IO with device compute.  None = auto (use it when the shared
+    library builds/loads), True = required, False (default, keeps the rgb
+    contract) = cv2.  The native path yields BT.601 grayscale f32 [H,W]
+    images (what the engine feeds the device anyway); the cv2 path yields
+    rgb u8 [H,W,3].  ``SlamSystem.feed`` accepts both.
+    """
     rgb_list = _read_list(os.path.join(root, "rgb.txt"))
     depth_list = _read_list(os.path.join(root, "depth.txt"))
     ts_r = np.array([t for t, _ in rgb_list])
@@ -91,6 +101,37 @@ def sequence(
     pairs = associate(ts_r, ts_d, max_dt)
     if limit is not None:
         pairs = pairs[:limit]
+    if native is None or native:
+        from boslam_tpu.runtime import native as native_mod
+
+        use_native = native_mod.available()
+        if native and not use_native:
+            raise RuntimeError("native runtime requested but unavailable")
+    else:
+        use_native = False
+    if use_native and pairs:
+        from boslam_tpu.runtime.native import NativeLoader
+
+        # Probe frame 0 for the image geometry (the C ABI decodes into
+        # caller-sized buffers), then stream everything through the
+        # prefetching worker pool.
+        rgb0, _ = _imread_gray_depth(
+            os.path.join(root, rgb_list[pairs[0][0]][1]),
+            os.path.join(root, depth_list[pairs[0][1]][1]),
+            depth_factor,
+        )
+        h, w = rgb0.shape[:2]
+        loader = NativeLoader(
+            [os.path.join(root, rgb_list[i][1]) for i, _ in pairs],
+            [os.path.join(root, depth_list[j][1]) for _, j in pairs],
+            w, h, depth_factor,
+        )
+        try:
+            for (i, _), (gray, depth) in zip(pairs, loader):
+                yield rgb_list[i][0], gray, depth
+        finally:
+            loader.close()
+        return
     for i, j in pairs:
         rgb, depth = _imread_gray_depth(
             os.path.join(root, rgb_list[i][1]),

@@ -36,9 +36,24 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--global-ba", action="store_true",
                     help="run full-map BA after loop closures AND at exit")
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize the multi-host runtime "
+                         "(jax.distributed) and run global BA landmark-"
+                         "sharded over ALL visible devices; see "
+                         "parallel/distributed.py for the launch recipe")
     ap.add_argument("--viz", type=str, default=None,
                     help="render the final 3D map + trajectory to this PNG")
+    ap.add_argument("--no-native-loader", action="store_true",
+                    help="force the cv2 PNG decode path (default: the C++ "
+                         "prefetching decoder when it builds/loads)")
     args = ap.parse_args()
+
+    if args.distributed:
+        # MUST run before anything that initializes the XLA backend (other
+        # boslam imports create jnp constants at import time).
+        from boslam_tpu.parallel.distributed import maybe_initialize
+
+        maybe_initialize(force=True)
 
     from boslam_tpu.config import (
         ICL_NUIM, SlamConfig, TUM_FR1, TUM_FR2, TUM_FR3,
@@ -69,7 +84,10 @@ def main() -> None:
         frames = synth.render_sequence(cfg.camera, traj)
         gt = (traj.timestamps, traj.poses_twc)
     elif args.tum:
-        frames = tum.sequence(args.tum, cfg.camera.depth_factor, limit=args.limit)
+        frames = tum.sequence(
+            args.tum, cfg.camera.depth_factor, limit=args.limit,
+            native=False if args.no_native_loader else None,
+        )
         try:
             gt_ts, gt_poses = tum.read_groundtruth(f"{args.tum}/groundtruth.txt")
             gt = (gt_ts, gt_poses)
@@ -77,7 +95,8 @@ def main() -> None:
             pass
     elif args.icl:
         frames = icl_nuim.sequence(
-            args.icl, cfg.camera.depth_factor, limit=args.limit
+            args.icl, cfg.camera.depth_factor, limit=args.limit,
+            native=False if args.no_native_loader else None,
         )
         try:
             gt = icl_nuim.read_groundtruth(args.icl)
@@ -86,7 +105,22 @@ def main() -> None:
     else:
         ap.error("need --tum, --icl or --synthetic")
 
-    slam = SlamSystem(cfg, seed=args.seed)
+    ba_mesh = None
+    if args.distributed:
+        import jax
+
+        from boslam_tpu.parallel.distributed import runtime_info
+        from boslam_tpu.parallel.mesh import make_mesh
+
+        print(f"[distributed] {runtime_info()}", file=sys.stderr)
+        if jax.device_count() > 1:
+            ba_mesh = make_mesh(seq=1)
+            print(
+                f"[distributed] global BA sharded over "
+                f"pt={ba_mesh.shape['pt']} devices", file=sys.stderr,
+            )
+
+    slam = SlamSystem(cfg, seed=args.seed, ba_mesh=ba_mesh)
     if args.resume:
         ckpt.restore(args.resume, slam)
         print(f"resumed from {args.resume}: {slam.n_keyframes} keyframes",

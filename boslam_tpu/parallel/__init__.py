@@ -1,13 +1,26 @@
-from boslam_tpu.parallel.mesh import make_mesh
-from boslam_tpu.parallel import batch, sharded_ba
+"""Distribution layer: meshes, batched tracking, sharded BA, multi-sequence
+DP, multi-host runtime.
 
-__all__ = ["make_mesh", "batch", "sharded_ba", "multi", "sharded_global_ba"]
+Everything is lazy: ``jax.distributed.initialize()`` (parallel/distributed)
+must run BEFORE any jax call that initializes the XLA backend, and several
+submodules create jnp constants at import time — an eager import here would
+close the multi-host bootstrap window for every ``import boslam_tpu``.
+"""
+
+__all__ = [
+    "make_mesh", "batch", "sharded_ba", "multi", "sharded_global_ba",
+    "mesh", "distributed",
+]
+
+_SUBMODULES = ("batch", "sharded_ba", "multi", "sharded_global_ba",
+               "mesh", "distributed")
 
 
 def __getattr__(name):
-    # Lazy: multi / sharded_global_ba import the full engine stack.
-    if name in ("multi", "sharded_global_ba"):
-        import importlib
+    import importlib
 
+    if name == "make_mesh":
+        return importlib.import_module("boslam_tpu.parallel.mesh").make_mesh
+    if name in _SUBMODULES:
         return importlib.import_module(f"boslam_tpu.parallel.{name}")
     raise AttributeError(name)

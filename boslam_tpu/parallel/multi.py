@@ -50,12 +50,27 @@ def _stack(trees):
 @functools.lru_cache(maxsize=8)
 def make_batched_step(cfg: SlamConfig, mesh: Mesh):
     """Jitted shard_map'd frame step over [S]-batched engine states.
-    Cached by (cfg, mesh) so fresh engines reuse the compiled executable."""
+    Cached by (cfg, mesh) so fresh engines reuse the compiled executable.
 
-    def body(ms, ls, tr, key, img, d16):
+    ``act`` [S] bool gates each shard: real sequences have unequal lengths
+    (BASELINE config 5 runs 4 TUM sequences in parallel), so a finished
+    sequence rides along as a no-op branch — its state is untouched and its
+    row is ignored by the host (lax.cond keeps the skip REAL: a finished
+    shard does no feature/tracking work)."""
+
+    def body(ms, ls, tr, key, img, d16, act):
         sq = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
-        ms, ls, tr, k, row = frame_step_core(
-            cfg, sq(ms), sq(ls), sq(tr), key[0], img[0], d16[0]
+
+        def run(ms, ls, tr, key):
+            return frame_step_core(cfg, ms, ls, tr, key, img[0], d16[0])
+
+        def skip(ms, ls, tr, key):
+            row = jnp.zeros((OUT_DIM,), jnp.float32).at[O_KFID].set(-1.0)
+            row = row.at[O_LCAND].set(-1.0)
+            return ms, ls, tr, key, row
+
+        ms, ls, tr, k, row = jax.lax.cond(
+            act[0], run, skip, sq(ms), sq(ls), sq(tr), key[0]
         )
         ex = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
         return ex(ms), ex(ls), ex(tr), k[None], row[None]
@@ -63,7 +78,7 @@ def make_batched_step(cfg: SlamConfig, mesh: Mesh):
     spec = P("seq")
     step = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec,) * 6, out_specs=(spec,) * 5,
+        in_specs=(spec,) * 7, out_specs=(spec,) * 5,
         check_vma=False,
     )
     return jax.jit(step, donate_argnums=(0, 1, 2, 3))
@@ -143,11 +158,20 @@ class BatchedSlamSystem:
         self._vocab_trained_at = [-1] * n_seq
         self._pending_rows: List[jnp.ndarray] = []
         self._pending_ts: List[List[float]] = []
+        self._pending_act: List[np.ndarray] = []
 
     # ------------------------------------------------------------------
-    def feed(self, ts_list, rgbs, depths) -> None:
-        """Advance all S sequences by one frame (async dispatch)."""
+    def feed(self, ts_list, rgbs, depths, active=None) -> None:
+        """Advance sequences by one frame (async dispatch).
+
+        ``active`` [S] bools (default all True): inactive shards are no-ops
+        on device and produce no host records — how unequal-length sequence
+        batches run to each sequence's own end (run_sequences)."""
         from boslam_tpu.slam import _BT601
+
+        if active is None:
+            active = [True] * self.n_seq
+        active = np.asarray(active, bool)
 
         imgs, d16s = [], []
         stride = self.cfg.camera.depth_wire_stride
@@ -172,12 +196,14 @@ class BatchedSlamSystem:
             d16s.append(d16)
         img_b = jax.device_put(np.stack(imgs), self._shard)
         d16_b = jax.device_put(np.stack(d16s), self._shard)
+        act_b = jax.device_put(active, self._shard)
         self.map, self.loop, self.track, self.key, rows = self._step(
-            self.map, self.loop, self.track, self.key, img_b, d16_b
+            self.map, self.loop, self.track, self.key, img_b, d16_b, act_b
         )
         rows.copy_to_host_async()
         self._pending_rows.append(rows)
         self._pending_ts.append(list(ts_list))
+        self._pending_act.append(active)
         if len(self._pending_rows) >= self.chunk:
             self.flush()
 
@@ -187,7 +213,8 @@ class BatchedSlamSystem:
             return
         rows_t = np.stack([np.asarray(r) for r in self._pending_rows])
         ts_t = self._pending_ts
-        self._pending_rows, self._pending_ts = [], []
+        act_t = self._pending_act
+        self._pending_rows, self._pending_ts, self._pending_act = [], [], []
 
         lc = self.cfg.loop
         vocab_do = np.zeros(self.n_seq, bool)
@@ -198,7 +225,11 @@ class BatchedSlamSystem:
         # chunk's last rec.
         loop_queue = [[] for _ in range(self.n_seq)]
         for s in range(self.n_seq):
+            last_active_t = -1
             for t, ts in enumerate(ts_t):
+                if not act_t[t][s]:
+                    continue  # finished sequence: no-op shard, no record
+                last_active_t = t
                 r = rows_t[t, s]
                 self.timestamps[s].append(ts[s])
                 self.poses_twc[s].append(r[O_POSE0:O_POSE0 + 7].copy())
@@ -218,7 +249,9 @@ class BatchedSlamSystem:
                 if r[O_LCONS] > 0.5:
                     loop_queue[s].append((int(r[O_KFID]), int(r[O_LCAND]), rec))
                 self.metrics[s].append(rec)
-            n_kf = int(rows_t[-1, s, O_NKF])
+            if last_active_t < 0:
+                continue  # sequence saw no frames this drain
+            n_kf = int(rows_t[last_active_t, s, O_NKF])
             due = (
                 (self._vocab_trained_at[s] < 0 and n_kf >= lc.vocab_train_kf)
                 or (self._vocab_trained_at[s] >= 0
@@ -301,14 +334,20 @@ class BatchedSlamSystem:
 def run_sequences(cfg: SlamConfig, frame_lists, mesh: Mesh = None,
                   seed: int = 0, chunk: int = 8) -> BatchedSlamSystem:
     """Run S sequences in lockstep; ``frame_lists[s]`` = [(ts, rgb, depth)].
-    Sequences must have equal length (trim to the shortest)."""
+
+    Sequences may have UNEQUAL lengths (real TUM runs do): every sequence
+    runs to its own end; finished sequences ride as no-op shards via the
+    per-shard done-mask (their last frame is re-fed as a placeholder but the
+    device branch skips it and the host records nothing)."""
     n_seq = len(frame_lists)
-    T = min(len(f) for f in frame_lists)
+    T = max(len(f) for f in frame_lists)
     eng = BatchedSlamSystem(cfg, n_seq, mesh=mesh, seed=seed, chunk=chunk)
     for t in range(T):
-        ts = [frame_lists[s][t][0] for s in range(n_seq)]
-        rgbs = [frame_lists[s][t][1] for s in range(n_seq)]
-        depths = [frame_lists[s][t][2] for s in range(n_seq)]
-        eng.feed(ts, rgbs, depths)
+        idx = [min(t, len(frame_lists[s]) - 1) for s in range(n_seq)]
+        active = [t < len(frame_lists[s]) for s in range(n_seq)]
+        ts = [frame_lists[s][idx[s]][0] for s in range(n_seq)]
+        rgbs = [frame_lists[s][idx[s]][1] for s in range(n_seq)]
+        depths = [frame_lists[s][idx[s]][2] for s in range(n_seq)]
+        eng.feed(ts, rgbs, depths, active=active)
     eng.flush()
     return eng

@@ -218,9 +218,14 @@ class SlamSystem:
     compatibility wrapper (feed + flush every frame).
     """
 
-    def __init__(self, cfg: SlamConfig, seed: int = 0, chunk: int = 16):
+    def __init__(self, cfg: SlamConfig, seed: int = 0, chunk: int = 16,
+                 ba_mesh=None):
         self.cfg = cfg
         self.chunk = max(1, int(chunk))
+        # Optional jax.sharding.Mesh with a 'pt' axis: global BA (the loop-
+        # closure hook and run_global_ba) runs landmark-sharded over it
+        # (parallel/sharded_global_ba) instead of single-device.
+        self.ba_mesh = ba_mesh
         self.map = empty_map(cfg)
         self.loop = empty_loop_state(cfg)
         self.track = init_track_state()
@@ -396,9 +401,11 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def run_global_ba(self) -> dict:
-        """Full-map bundle adjustment (BASELINE config 4 hook)."""
-        from boslam_tpu.solvers.global_ba import global_bundle_adjustment
+        """Full-map bundle adjustment (BASELINE config 4 hook).
 
+        Runs landmark-sharded over ``self.ba_mesh`` when one with >1 device
+        was provided (SURVEY.md §5.8 distributed comm backend; CLI
+        ``--distributed``), else on the single default device."""
         cfg = self.cfg
         # Latest keyframe anchors the tracked pose across the solve: keep the
         # frame's RELATIVE pose to it (T_cur_ref = pose_cw ∘ T_wc(ref)) and
@@ -409,19 +416,39 @@ class SlamSystem:
         t_cur_ref = se3.pose_compose(
             self.track.pose_cw, se3.pose_inv(self.map.kf_pose[ref])
         )
-        self.map, stats = global_bundle_adjustment(
-            cfg, self.map,
-            lm_iters=cfg.loop.global_ba_iters,
-            cg_iters=cfg.loop.global_ba_cg_iters,
+        distributed = (
+            self.ba_mesh is not None and self.ba_mesh.devices.size > 1
         )
+        if distributed:
+            from boslam_tpu.parallel.sharded_global_ba import (
+                distributed_global_ba,
+            )
+
+            self.map, (cost0, cost1, n_edges) = distributed_global_ba(
+                cfg, self.ba_mesh, self.map,
+                lm_iters=cfg.loop.global_ba_iters,
+                cg_iters=cfg.loop.global_ba_cg_iters,
+            )
+        else:
+            from boslam_tpu.solvers.global_ba import global_bundle_adjustment
+
+            self.map, stats = global_bundle_adjustment(
+                cfg, self.map,
+                lm_iters=cfg.loop.global_ba_iters,
+                cg_iters=cfg.loop.global_ba_cg_iters,
+            )
+            cost0, cost1, n_edges = (
+                float(stats.cost0), float(stats.cost1), int(stats.n_edges)
+            )
         self.track = self.track._replace(
             pose_cw=se3.pose_compose(t_cur_ref, self.map.kf_pose[ref]),
             velocity=se3.pose_identity(),
         )
         rec = {
-            "gba_cost0": float(stats.cost0),
-            "gba_cost1": float(stats.cost1),
-            "gba_edges": int(stats.n_edges),
+            "gba_cost0": cost0,
+            "gba_cost1": cost1,
+            "gba_edges": n_edges,
+            "gba_distributed": distributed,
         }
         if self.metrics:
             self.metrics[-1].update(rec)

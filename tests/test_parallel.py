@@ -223,3 +223,102 @@ def test_batched_engine_depth_stride_matches_single_engine():
         _, est_a = single[s].trajectory()
         np.testing.assert_allclose(est_b, est_a, atol=1e-3)
         assert eng.n_points(s) == single[s].n_points
+
+
+def test_distributed_runtime_smoke():
+    """jax.distributed.initialize single-process smoke (SURVEY §5.8 /
+    VERDICT r2 item 2): the bootstrap path exists and runs — coordinator
+    service + barrier — without a cluster.  Subprocess so the runtime
+    doesn't latch onto the test process."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import os;"
+        "os.environ['BOSLAM_COORDINATOR']='localhost:47123';"
+        "os.environ['BOSLAM_NUM_PROCESSES']='1';"
+        "os.environ['BOSLAM_PROCESS_ID']='0';"
+        "from boslam_tpu.parallel.distributed import maybe_initialize,"
+        " runtime_info;"
+        "assert maybe_initialize(), 'initialize failed';"
+        "info = runtime_info();"
+        "assert info['initialized'] and info['process_count'] == 1, info;"
+        "print('DIST_OK', info)"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # The container's sitecustomize eagerly registers/initializes the remote
+    # TPU backend, which forbids a later jax.distributed.initialize(); the
+    # smoke test runs with it disabled (pure-CPU child).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "DIST_OK" in r.stdout
+
+
+def test_cli_distributed_global_ba(tmp_path):
+    """--distributed routes the exit global BA through the landmark-sharded
+    solver over the 8-device CPU mesh (VERDICT r2 item 2: distributed GBA
+    reachable from the CLI)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = tmp_path / "traj.txt"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from boslam_tpu.main import main;"
+        "import boslam_tpu.config as C, dataclasses;"
+        "C.TUM_FR1 = dataclasses.replace(C.TUM_FR1, width=160, height=120,"
+        " fx=65.0, fy=65.0, cx=80.0, cy=60.0);"
+        f"sys.argv = ['main', '--synthetic', '16', '--out', {str(out)!r},"
+        " '--distributed', '--global-ba']; main()"
+    )
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu",
+        XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                   + " --xla_force_host_platform_device_count=8").strip(),
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "global BA sharded over pt=8" in r.stderr, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary.get("ate_rmse_m", 1.0) < 0.05, summary
+
+
+def test_batched_engine_unequal_lengths():
+    """Unequal-length sequence batches (VERDICT r2 item 5): each sequence
+    runs to its own end via done-masks and matches its single-engine run;
+    finished sequences produce no extra records."""
+    from boslam_tpu.io import synthetic
+    from boslam_tpu.parallel.multi import run_sequences, seq_mesh
+    from boslam_tpu.slam import run_sequence
+
+    cfg = DP_CFG
+    lengths = [12, 7]
+    frame_lists, single = [], []
+    for seed, n in enumerate(lengths):
+        traj = synthetic.orbit_trajectory(
+            n, radius=0.25 + 0.05 * seed, yaw_amplitude=0.1
+        )
+        frames = synthetic.render_sequence(CAM, traj)
+        frame_lists.append(frames)
+        single.append(run_sequence(cfg, frames))
+
+    eng = run_sequences(cfg, frame_lists, mesh=seq_mesh(2))
+    for s in range(2):
+        ts_b, est_b = eng.trajectory(s)
+        ts_a, est_a = single[s].trajectory()
+        assert len(ts_b) == lengths[s]
+        assert len(eng.metrics[s]) == lengths[s]
+        np.testing.assert_allclose(est_b, est_a, atol=1e-3)
+        assert eng.n_keyframes(s) == single[s].n_keyframes
