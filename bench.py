@@ -107,7 +107,8 @@ def bench_tracking(args):
         _, rgb, depth = frames[len(frames) // 2]
         stages = stage_timings(slam, rgb_to_gray(rgb), depth)
         print(f"[bench] stages: " + " ".join(
-            f"{k}={v:.2f}" for k, v in stages.items()), file=sys.stderr)
+            f"{k}={v:.4f}" if "util" in k else f"{k}={v:.2f}"
+            for k, v in stages.items()), file=sys.stderr)
 
     return {
         "fps": round(fps, 3),
@@ -116,7 +117,7 @@ def bench_tracking(args):
         "map_points": int(slam.n_points),
         "loops_closed": int(slam.n_loops_closed),
         "lost_frames": n_lost,
-        **{k: round(v, 2) for k, v in stages.items()},
+        **{k: round(v, 4 if "util" in k else 2) for k, v in stages.items()},
     }
 
 

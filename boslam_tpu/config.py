@@ -58,6 +58,9 @@ class OrbConfig:
     border: int = 19               # keypoint exclusion border (patch half + margin)
     grid_rows: int = 8             # top-k bucketing grid for spatial spread
     grid_cols: int = 8
+    # Frontend kernel backend: "auto" = Pallas kernels on TPU, jnp elsewhere;
+    # "jnp" / "pallas" force one path (tests pin both).
+    frontend_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

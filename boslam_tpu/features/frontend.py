@@ -1,4 +1,4 @@
-"""ORB-style feature frontend, pure jnp (Pallas upgrades live in ops/).
+"""ORB-style feature frontend: jnp reference path + Pallas TPU kernels.
 
 TPU-native replacement for ``cv2.ORB_create(...).detectAndCompute`` (reference
 frame construction, SURVEY.md §2.2 row "OpenCV ORB"): 8-level image pyramid,
@@ -9,6 +9,24 @@ descriptors packed as uint32[8], and per-keypoint depth backprojection
 
 Everything is static-shape: exactly ``cfg.orb.n_features`` keypoint slots per
 frame, invalid slots masked (SURVEY.md §7.0).
+
+The two hot stages are gather-free by design (VERDICT r2 item 1):
+
+* **FAST + NMS** accumulates the 16 circle offsets as static slices of a
+  padded image into ReLU margin maps and uint32 contiguity bitmasks — no
+  [16, H, W] shifted stack.  ``_fast_rank_maps`` is the jnp reference;
+  ``ops.frontend_pallas.fast_rank_pallas`` is the same computation as one
+  row-tiled VMEM-resident kernel.
+* **Orientation + rotated BRIEF** samples each keypoint's 32x32 patch with
+  the rotation quantized to ``N_ANGLE_BINS`` (the original ORB paper's 12°
+  discretization): the 512 rotated sample positions per bin become constant
+  one-hot row/column selection tables, so descriptor sampling is two MXU
+  einsums over the patch tensor instead of a 512-way per-keypoint gather.
+  Patch extraction itself is a vmapped ``dynamic_slice`` (jnp) or a
+  scalar-prefetch Pallas copy kernel.
+
+Backend gating: ``cfg.orb.frontend_impl`` = "auto" (Pallas on TPU, jnp
+elsewhere) / "jnp" / "pallas".
 """
 
 from __future__ import annotations
@@ -21,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from boslam_tpu.config import SlamConfig
-from boslam_tpu.features.pattern import HALF, PATCH, PATTERN
+from boslam_tpu.features.pattern import HALF, PATTERN
 from boslam_tpu.geometry import camera as cam_mod
 
 # FAST radius-3 Bresenham circle, (dx, dy), clockwise from 12 o'clock.
@@ -34,6 +52,8 @@ _CIRCLE = np.array(
 )
 
 _LEVEL_BORDER = 17  # circle radius 3 + descriptor patch half 15 (rounded up)
+_PATCH = 2 * HALF + 2  # 32: covers rotated offsets in [-15, 16)
+N_ANGLE_BINS = 32   # rotated-BRIEF angle quantization (ORB paper: 12° bins)
 
 
 class FrameFeatures(NamedTuple):
@@ -81,60 +101,89 @@ def _blur(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return sum(kernel[i] * p[:, i : i + img.shape[1]] for i in range(7))
 
 
-def _fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """FAST-9 corner score map (SAD-of-margins variant).
-
-    A pixel is a corner if >= 9 contiguous circle pixels are all brighter than
-    c + t or all darker than c - t; the score is the summed intensity margin
-    of the triggering polarity (a standard FAST reimplementation score; golden
-    parity with cv2 is asserted by keypoint repeatability, not exact scores --
-    SURVEY.md §4.2.1).
-    """
-    return _fast_scores(img, (threshold,))[0]
-
-
-def _fast_scores(img: jnp.ndarray, thresholds) -> list:
-    """FAST-9 score maps at several thresholds, sharing the circle-shift
-    stack (the adaptive-threshold path needs hi + lo in one pass)."""
-    shifted = jnp.stack(
-        [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dx, dy in _CIRCLE]
-    )  # [16, H, W]
-
-    def contig9(m):
-        acc = m
-        for k in range(1, 9):
-            acc = acc & jnp.roll(m, -k, axis=0)
-        return jnp.any(acc, axis=0)
-
-    out = []
-    for t in thresholds:
-        bright = shifted > img[None] + t
-        dark = shifted < img[None] - t
-        is_b = contig9(bright)
-        is_d = contig9(dark)
-        margin_b = jnp.sum(jnp.where(bright, shifted - img[None] - t, 0.0), 0)
-        margin_d = jnp.sum(jnp.where(dark, img[None] - t - shifted, 0.0), 0)
-        out.append(jnp.maximum(is_b * margin_b, is_d * margin_d))
-    return out
-
-
-def _nms3(score: jnp.ndarray) -> jnp.ndarray:
-    mx = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
-    return jnp.where((score >= mx) & (score > 0), score, 0.0)
-
-
-def _border_mask(h: int, w: int, b: int) -> np.ndarray:
-    m = np.zeros((h, w), np.float32)
-    m[b : h - b, b : w - b] = 1.0
-    return m
+def _contig9(mask: jnp.ndarray) -> jnp.ndarray:
+    """uint32 circle bitmask (bits 0..15) -> True iff >= 9 contiguous
+    (circular) bits set: duplicate into the high half-word, AND 9 shifts."""
+    dup = mask | (mask << 16)
+    acc = dup
+    for s in range(1, 9):
+        acc = acc & (dup >> s)
+    return (acc & jnp.uint32(0xFFFF)) != 0
 
 
 # Rank boosts for the grid-distributed selection.  Raw FAST scores are
 # intensity margins < 16*255 = 4080, so these separate cleanly in f32.
 _BOOST_HI = float(1 << 17)    # high-threshold corner beats any low-threshold one
 _BOOST_CELL = float(1 << 18)  # per-cell best beats everything (>=1 kp/cell)
+
+
+def _fast_rank_maps(level, t_hi: float, t_lo: float, border: int):
+    """FAST-9 hi/lo score + 3x3 NMS + rank fusion (jnp reference path;
+    golden twin of ops.frontend_pallas.fast_rank_pallas).
+
+    A pixel is a corner if >= 9 contiguous circle pixels are all brighter
+    than c + t or all darker than c - t; the score is the summed intensity
+    margin of the triggering polarity (standard FAST reimplementation
+    score; cv2 parity is asserted by keypoint repeatability, not exact
+    scores — SURVEY.md §4.2.1).  Returns (rank [H, W], raw [H, W]): rank =
+    NMS'd + border-masked with hi corners boosted by _BOOST_HI; raw =
+    pre-NMS score (hi where present, else lo) for sub-pixel refinement.
+    """
+    h, w = level.shape
+    pad = 4
+    p = jnp.pad(level, pad)
+    th, tw = h + 2, w + 2  # compute region: 1 NMS halo each side
+    center = jax.lax.slice(p, (3, 3), (3 + th, 3 + tw))
+    zf = jnp.zeros((th, tw), jnp.float32)
+    zu = jnp.zeros((th, tw), jnp.uint32)
+    mb_hi, md_hi, mb_lo, md_lo = zf, zf, zf, zf
+    kb_hi, kd_hi, kb_lo, kd_lo = zu, zu, zu, zu
+    for k, (dx, dy) in enumerate(_CIRCLE):
+        dx, dy = int(dx), int(dy)
+        d = jax.lax.slice(p, (3 + dy, 3 + dx), (3 + dy + th, 3 + dx + tw)) - center
+        bit = jnp.uint32(1 << k)
+        mb_hi += jnp.maximum(d - t_hi, 0.0)
+        md_hi += jnp.maximum(-d - t_hi, 0.0)
+        mb_lo += jnp.maximum(d - t_lo, 0.0)
+        md_lo += jnp.maximum(-d - t_lo, 0.0)
+        kb_hi |= jnp.where(d > t_hi, bit, jnp.uint32(0))
+        kd_hi |= jnp.where(-d > t_hi, bit, jnp.uint32(0))
+        kb_lo |= jnp.where(d > t_lo, bit, jnp.uint32(0))
+        kd_lo |= jnp.where(-d > t_lo, bit, jnp.uint32(0))
+
+    score_hi = jnp.maximum(
+        jnp.where(_contig9(kb_hi), mb_hi, 0.0),
+        jnp.where(_contig9(kd_hi), md_hi, 0.0),
+    )
+    score_lo = jnp.maximum(
+        jnp.where(_contig9(kb_lo), mb_lo, 0.0),
+        jnp.where(_contig9(kd_lo), md_lo, 0.0),
+    )
+
+    def nms(score):
+        mx = jax.lax.slice(score, (0, 0), (h, w))
+        for ddy in range(3):
+            for ddx in range(3):
+                mx = jnp.maximum(
+                    mx, jax.lax.slice(score, (ddy, ddx), (ddy + h, ddx + w))
+                )
+        inner = jax.lax.slice(score, (1, 1), (1 + h, 1 + w))
+        return jnp.where((inner >= mx) & (inner > 0.0), inner, 0.0)
+
+    nms_hi = nms(score_hi)
+    nms_lo = nms(score_lo)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inb = (
+        (rows >= border) & (rows < h - border)
+        & (cols >= border) & (cols < w - border)
+    )
+    rank = jnp.where(nms_hi > 0, nms_hi + _BOOST_HI, nms_lo)
+    rank = jnp.where(inb, rank, 0.0)
+    raw_hi = jax.lax.slice(score_hi, (1, 1), (1 + h, 1 + w))
+    raw_lo = jax.lax.slice(score_lo, (1, 1), (1 + h, 1 + w))
+    raw = jnp.where(raw_hi > 0, raw_hi, raw_lo)
+    return rank, raw
 
 
 def _grid_select(rank: jnp.ndarray, k: int, rows: int, cols: int):
@@ -186,45 +235,88 @@ def _subpixel_offsets(score, ys, xs):
     return jax.vmap(one)(ys, xs)
 
 
-def _orientation_and_desc(level_img, ys, xs, pattern):
-    """Per-keypoint orientation (intensity centroid) + rotated BRIEF bits.
-
-    level_img: [H, W] blurred level image; ys/xs: [K] int keypoint coords.
-    Returns (angle [K], desc [K, 8] uint32).
-    """
+@functools.lru_cache(maxsize=1)
+def _orient_weights():
+    """Intensity-centroid moment weights on the 32x32 patch (31x31 circular
+    support, zero last row/col)."""
     dy, dx = np.mgrid[-HALF : HALF + 1, -HALF : HALF + 1]
     circ = (dx**2 + dy**2 <= HALF**2).astype(np.float32)
-    wx = jnp.asarray(dx * circ)
-    wy = jnp.asarray(dy * circ)
+    wx = np.zeros((_PATCH, _PATCH), np.float32)
+    wy = np.zeros((_PATCH, _PATCH), np.float32)
+    wx[: 2 * HALF + 1, : 2 * HALF + 1] = dx * circ
+    wy[: 2 * HALF + 1, : 2 * HALF + 1] = dy * circ
+    return wx, wy
+
+
+@functools.lru_cache(maxsize=1)
+def _brief_tables():
+    """Constant one-hot sample-selection tables for the binned rotated BRIEF.
+
+    For each of N_ANGLE_BINS quantized angles, the 512 pattern points (256
+    pairs) rotate and round to integer patch offsets exactly as the exact-
+    rotation formulation would at that angle; the row/column indices become
+    one-hot matrices so descriptor sampling is two tensor contractions:
+    ``val[k,s] = col[b_k,s,:] · (row[b_k,s,:] @ patch_k)``.
+
+    Returns (row_oh [A, 512, 32], col_oh [A, 512, 32]) float32.
+    """
+    pts = np.concatenate([PATTERN[:, 0:2], PATTERN[:, 2:4]], axis=0)  # [512,2] (x,y)
+    a = N_ANGLE_BINS
+    row_oh = np.zeros((a, 512, _PATCH), np.float32)
+    col_oh = np.zeros((a, 512, _PATCH), np.float32)
+    for b in range(a):
+        th = 2.0 * np.pi * b / a
+        ca, sa = np.cos(th), np.sin(th)
+        xr = pts[:, 0] * ca - pts[:, 1] * sa
+        yr = pts[:, 0] * sa + pts[:, 1] * ca
+        i = np.clip(np.round(yr).astype(np.int64) + HALF, 0, _PATCH - 1)
+        j = np.clip(np.round(xr).astype(np.int64) + HALF, 0, _PATCH - 1)
+        row_oh[b, np.arange(512), i] = 1.0
+        col_oh[b, np.arange(512), j] = 1.0
+    return row_oh, col_oh
+
+
+def _extract_patches_jnp(img, ys, xs):
+    """[K, 32, 32] patches at (ys, xs) via vmapped dynamic_slice (jnp twin
+    of ops.frontend_pallas.extract_patches_pallas)."""
+    h, w = img.shape
+    ys = jnp.clip(ys, HALF, h - HALF - 2)
+    xs = jnp.clip(xs, HALF, w - HALF - 2)
 
     def one(y, x):
-        patch = jax.lax.dynamic_slice(
-            level_img, (y - HALF, x - HALF), (PATCH, PATCH)
-        )
-        m10 = jnp.sum(wx * patch)
-        m01 = jnp.sum(wy * patch)
-        angle = jnp.arctan2(m01, m10)
-        ca, sa = jnp.cos(angle), jnp.sin(angle)
-        # Rotate the sampling pattern (steered BRIEF).
-        x1 = pattern[:, 0] * ca - pattern[:, 1] * sa
-        y1 = pattern[:, 0] * sa + pattern[:, 1] * ca
-        x2 = pattern[:, 2] * ca - pattern[:, 3] * sa
-        y2 = pattern[:, 2] * sa + pattern[:, 3] * ca
-        i1 = jnp.round(y1).astype(jnp.int32) + HALF
-        j1 = jnp.round(x1).astype(jnp.int32) + HALF
-        i2 = jnp.round(y2).astype(jnp.int32) + HALF
-        j2 = jnp.round(x2).astype(jnp.int32) + HALF
-        v1 = patch[i1, j1]
-        v2 = patch[i2, j2]
-        bits = (v1 < v2).astype(jnp.uint32)  # [256]
-        packed = jnp.sum(
-            bits.reshape(8, 32) << jnp.arange(32, dtype=jnp.uint32)[None, :],
-            axis=1,
-            dtype=jnp.uint32,
-        )
-        return angle, packed
+        return jax.lax.dynamic_slice(img, (y - HALF, x - HALF), (_PATCH, _PATCH))
 
     return jax.vmap(one)(ys, xs)
+
+
+def orient_and_brief(patches):
+    """Orientation (intensity centroid) + binned rotated-BRIEF descriptor
+    for a batch of 32x32 patches.  Returns (angle [K] f32, desc [K, 8] u32).
+
+    The angle is continuous (atan2 of the patch moments — used by rotation-
+    consistency matching); only the descriptor sampling quantizes it to
+    N_ANGLE_BINS (the ORB paper's discretized steered BRIEF)."""
+    wx, wy = _orient_weights()
+    m10 = jnp.einsum("kij,ij->k", patches, jnp.asarray(wx))
+    m01 = jnp.einsum("kij,ij->k", patches, jnp.asarray(wy))
+    angle = jnp.arctan2(m01, m10)
+
+    row_oh, col_oh = _brief_tables()
+    a = N_ANGLE_BINS
+    b = jnp.mod(jnp.round(angle * (a / (2.0 * np.pi))).astype(jnp.int32), a)
+    boh = jax.nn.one_hot(b, a, dtype=patches.dtype)          # [K, A]
+    rowsel = jnp.einsum("ka,asi->ksi", boh, jnp.asarray(row_oh))
+    colsel = jnp.einsum("ka,asj->ksj", boh, jnp.asarray(col_oh))
+    rows = jnp.einsum("ksi,kij->ksj", rowsel, patches)       # [K, 512, 32]
+    vals = jnp.sum(colsel * rows, axis=-1)                   # [K, 512]
+    v1, v2 = vals[:, :256], vals[:, 256:]
+    bits = (v1 < v2).astype(jnp.uint32)                      # [K, 256]
+    packed = jnp.sum(
+        bits.reshape(-1, 8, 32) << jnp.arange(32, dtype=jnp.uint32)[None, None, :],
+        axis=2,
+        dtype=jnp.uint32,
+    )
+    return angle, packed
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -232,33 +324,46 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
     """gray: [H, W] f32 in [0, 255]; depth: [H, W] f32 metres (0 = invalid)."""
     orb = cfg.orb
     cam = cfg.camera
+    impl = orb.frontend_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas":
+        from boslam_tpu.ops.frontend_pallas import (
+            extract_patches_pallas, fast_rank_pallas,
+        )
+
+        # Compiled on TPU; interpreter elsewhere (forced-"pallas" CPU tests).
+        interp = jax.default_backend() != "tpu"
     h, w = cam.height, cam.width
     shapes = pyramid_shapes(h, w, orb.n_levels, orb.scale_factor)
     budgets = distribute_features(orb.n_features, orb.n_levels, orb.scale_factor)
     kernel = jnp.asarray(_gauss7())
-    pattern = jnp.asarray(PATTERN)
+    t_hi, t_lo = float(orb.fast_threshold), float(orb.fast_threshold_min)
 
-    uv_all, ang_all, desc_all, oct_all, resp_all, val_all = [], [], [], [], [], []
+    uv_all, patch_all, oct_all, resp_all, val_all = [], [], [], [], []
     level = gray
     for l, (hl, wl) in enumerate(shapes):
         if l > 0:
             level = jax.image.resize(level, (hl, wl), "linear")
         blurred = _blur(level, kernel)
         # Adaptive FAST threshold (reference ORB per-cell retry at the min
-        # threshold): score at hi + lo thresholds in one shared pass; rank
-        # hi corners above lo ones so lo corners only fill weak cells.
-        raw_hi, raw_lo = _fast_scores(
-            level, (float(orb.fast_threshold), float(orb.fast_threshold_min))
-        )
-        border = jnp.asarray(_border_mask(hl, wl, _LEVEL_BORDER))
-        nms_hi = _nms3(raw_hi) * border
-        nms_lo = _nms3(raw_lo) * border
-        rank = jnp.where(nms_hi > 0, nms_hi + _BOOST_HI, nms_lo)
-        raw_score = jnp.where(raw_hi > 0, raw_hi, raw_lo)
+        # threshold): hi + lo scores in one pass; hi corners outrank lo ones
+        # so lo corners only fill weak cells.
+        if impl == "pallas":
+            rank, raw_score = fast_rank_pallas(
+                level, t_hi, t_lo, _BOOST_HI, _LEVEL_BORDER, interpret=interp
+            )
+        else:
+            rank, raw_score = _fast_rank_maps(level, t_hi, t_lo, _LEVEL_BORDER)
         k = budgets[l]
         ys, xs, top = _grid_select(rank, k, orb.grid_rows, orb.grid_cols)
         valid = top > 0
-        angle, desc = _orientation_and_desc(blurred, ys, xs, pattern)
+        if impl == "pallas":
+            patches = extract_patches_pallas(
+                blurred, ys, xs, half=HALF, interpret=interp
+            )
+        else:
+            patches = _extract_patches_jnp(blurred, ys, xs)
         # Sub-pixel refinement: 1D quadratic fit on the raw FAST score along
         # each axis (integer detection adds +-0.5 px noise that dominates
         # pose accuracy on clean data).
@@ -275,12 +380,15 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
             -1,
         )
         uv_all.append(uv)
-        ang_all.append(angle)
-        desc_all.append(desc)
+        patch_all.append(patches)
         oct_all.append(jnp.full((k,), l, jnp.int32))
         # Response = raw FAST margin (boost-free), comparable across cells.
         resp_all.append(raw_score[jnp.clip(ys, 0, hl - 1), jnp.clip(xs, 0, wl - 1)])
         val_all.append(valid)
+
+    # One batched orientation + descriptor pass over all levels' patches
+    # (the MXU einsums amortize across the whole frame budget).
+    angle, desc = orient_and_brief(jnp.concatenate(patch_all))
 
     uv = jnp.concatenate(uv_all)
     valid = jnp.concatenate(val_all)
@@ -298,8 +406,8 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
         uv=uv,
         xyz=jnp.where(has_depth[:, None], xyz, 0.0),
         depth=z,
-        desc=jnp.concatenate(desc_all),
-        angle=jnp.concatenate(ang_all),
+        desc=desc,
+        angle=angle,
         octave=jnp.concatenate(oct_all),
         response=jnp.concatenate(resp_all),
         valid=valid,

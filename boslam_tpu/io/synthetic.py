@@ -152,6 +152,31 @@ def orbit_trajectory(
     return Trajectory(np.array(poses), ts)
 
 
+def multi_loop_trajectory(
+    n_frames: int,
+    n_loops: int = 2,
+    radius: float = 0.8,
+    yaw_amplitude: float = 0.25,
+    fps: float = 30.0,
+) -> Trajectory:
+    """``n_loops`` consecutive traversals of the same closed orbit (the
+    fr2/large-with-loop class, BASELINE config 3): every pass after the
+    first continuously revisits pass-1 territory, so a correct loop closer
+    fires at several spatially distinct places along the path, not just
+    once at the start."""
+    poses = []
+    for i in range(n_frames):
+        s = (i / max(n_frames - 1, 1)) * n_loops * 2 * np.pi
+        tx = radius * np.sin(s)
+        tz = radius * (1 - np.cos(s)) * 0.5
+        ty = 0.1 * np.sin(2 * s)
+        yaw = yaw_amplitude * np.sin(s)
+        q = _rotvec_to_quat(np.array([0.0, yaw, 0.0]))
+        poses.append(np.concatenate([q, [tx, ty, tz]]))
+    ts = np.arange(n_frames) / fps
+    return Trajectory(np.array(poses), ts)
+
+
 def random_walk_trajectory(
     n_frames: int, step_t: float = 0.02, step_r: float = 0.01, seed: int = 0,
     fps: float = 30.0,

@@ -27,6 +27,12 @@ from boslam_tpu.solvers import optimize_pose, ransac_pnp, ransac_se3
 
 ST_UNINIT, ST_OK, ST_LOST = 0, 1, 2
 
+# Map size above which relocalization's whole-map match routes through the
+# streaming Pallas matcher instead of the materialized [N, M] jnp pipeline
+# (measured crossover: jnp wins at 16k, the kernel wins beyond — see
+# ops/hamming_pallas.py module notes).
+FUSED_MATCH_MIN_POINTS = 32768
+
 
 class TrackState(NamedTuple):
     pose_cw: jnp.ndarray    # [7] current camera pose (world -> camera)
@@ -237,11 +243,27 @@ def relocalize(cfg: SlamConfig, map_state, loop_state, track: TrackState,
         return pts_w, idx, ok
 
     def global_path(_):
-        dist = hamming.hamming_matrix_mxu(feats.desc, map_state.pt_desc)
-        idx, ok, _ = hamming.match_top2(
-            dist, feats.valid & feats.has_depth, map_state.pt_valid,
-            max_dist=cfg.matcher.hamming_low, ratio=0.85, mutual=True,
-        )
+        if P >= FUSED_MATCH_MIN_POINTS:
+            # Whole-map brute force at >=32k points: the streaming Pallas
+            # matcher (O(N+M) HBM traffic) wins over the materialized
+            # [N, M] jnp pipeline exactly at these shapes
+            # (ops/hamming_pallas.py perf notes); r=inf disables the
+            # projection window (pure global match).
+            from boslam_tpu.ops.hamming_pallas import fused_match_top2
+
+            n = feats.desc.shape[0]
+            idx, ok, _ = fused_match_top2(
+                feats.desc, feats.uv, jnp.full((n,), jnp.inf),
+                feats.valid & feats.has_depth,
+                map_state.pt_desc, jnp.zeros((P, 2)), map_state.pt_valid,
+                max_dist=cfg.matcher.hamming_low, ratio=0.85, mutual=True,
+            )
+        else:
+            dist = hamming.hamming_matrix_mxu(feats.desc, map_state.pt_desc)
+            idx, ok, _ = hamming.match_top2(
+                dist, feats.valid & feats.has_depth, map_state.pt_valid,
+                max_dist=cfg.matcher.hamming_low, ratio=0.85, mutual=True,
+            )
         ok = rotation.rotation_consistency(
             feats.angle,
             map_state.pt_angle[jnp.clip(idx, 0, P - 1)],

@@ -50,7 +50,18 @@ def test_extract_shapes_and_masks(frame):
 
 
 def test_repeatability_vs_cv2(frame):
-    """>= 40% of our valid keypoints lie within 3 px of a cv2 ORB keypoint."""
+    """>= 45% of our valid keypoints lie within 3 px of a cv2 ORB keypoint.
+
+    Measured 0.46-0.51 across poses (r3).  The residual divergence from
+    cv2 is structural, not noise — three deliberate design differences:
+    (1) our grid policy fills weak cells with LOW-threshold corners cv2's
+    quadtree would never emit (adaptive dual-threshold, reference ORB
+    per-cell retry); (2) cv2 ORB re-ranks FAST corners by Harris response
+    while we rank by FAST intensity margin; (3) our per-cell quota caps
+    dense cells harder at this budget.  Keypoints the two detectors DO
+    share localize to sub-pixel agreement (the @2px fraction is within
+    5 points of @3px), so the overlap set is tight — the complement is
+    policy, which the behavioral tests below (matching, geometry) cover."""
     cv2 = pytest.importorskip("cv2")
     gray, depth = frame
     f = extract_features(jnp.asarray(gray), jnp.asarray(depth), CFG)
@@ -61,7 +72,7 @@ def test_repeatability_vs_cv2(frame):
     theirs = np.array([k.pt for k in kps])
     d = np.linalg.norm(ours[:, None, :] - theirs[None, :, :], axis=-1).min(axis=1)
     frac = float((d <= 3.0).mean())
-    assert frac >= 0.4, f"repeatability {frac:.2f}"
+    assert frac >= 0.45, f"repeatability {frac:.2f}"
 
 
 def test_descriptor_invariance_under_motion(frame):

@@ -238,3 +238,38 @@ def test_cull_keyframe_rehomes_spanning_and_loop_edges():
     for c in (2, 3):
         if sp_v[c]:
             assert sp_j[c] == 0, f"child {c} still parented to reused slot"
+
+
+def test_relocalize_global_path_large_map():
+    """At >= FUSED_MATCH_MIN_POINTS the relocalization whole-map match
+    routes through the streaming Pallas matcher (VERDICT r2 item 10: the
+    kernel gets a live consumer at the shapes where it wins); behavior must
+    match the jnp route — relocalization recovers the pose on a big map."""
+    from boslam_tpu.config import MapConfig
+    from boslam_tpu.loopclosure import empty_loop_state
+    from boslam_tpu.tracking import relocalize
+    from boslam_tpu.tracking.tracker import FUSED_MATCH_MIN_POINTS, ST_OK
+
+    cfg = CFG.replace(
+        map=MapConfig(max_keyframes=16, max_points=FUSED_MATCH_MIN_POINTS)
+    )
+    pose = np.array([1.0, 0, 0, 0, 0.05, 0.0, 0.1])
+    rgb, depth = synthetic.render_frame(CAM, np.array([1.0, 0, 0, 0, 0, 0, 0]))
+    f0 = extract(rgb, depth)
+    st = empty_map(cfg)
+    mp, ok0 = no_match(cfg.orb.n_features)
+    st, _ = map_ops.insert_keyframe(cfg, st, f0, se3.pose_identity(), mp, ok0, 0)
+    # Frame from a nearby pose; tracker is LOST with a stale pose guess.
+    rgb1, depth1 = synthetic.render_frame(CAM, pose)
+    f1 = extract_features(
+        jnp.asarray(rgb_to_gray(rgb1)), jnp.asarray(depth1), cfg
+    )
+    track = init_track_state()._replace(status=jnp.asarray(2, jnp.int32))
+    ls = empty_loop_state(cfg)  # vocab not trained -> global match path
+    new_track, good, n_inl = relocalize(
+        cfg, st, ls, track, f1, jax.random.key(0)
+    )
+    assert bool(good), f"relocalization failed ({int(n_inl)} inliers)"
+    assert int(new_track.status) == ST_OK
+    est = np.asarray(se3.pose_inv(new_track.pose_cw))
+    np.testing.assert_allclose(est[4:], pose[4:], atol=0.02)

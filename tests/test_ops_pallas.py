@@ -81,3 +81,99 @@ def test_fused_match_infinite_radius():
     )
     np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+
+
+# ---------------------------------------------------------------------------
+# Frontend kernels (ops.frontend_pallas) vs their jnp golden twins.
+# ---------------------------------------------------------------------------
+
+def _frontend_frame():
+    from boslam_tpu.config import CameraConfig
+    from boslam_tpu.features.frontend import rgb_to_gray
+    from boslam_tpu.io import synthetic
+
+    cam = CameraConfig(width=320, height=240, fx=260.0, fy=260.0,
+                       cx=160.0, cy=120.0)
+    rgb, depth = synthetic.render_frame(
+        cam, np.array([1.0, 0, 0, 0, 0.1, -0.1, 0.2])
+    )
+    return jnp.asarray(rgb_to_gray(rgb))
+
+
+def test_fast_rank_pallas_matches_jnp():
+    """Pallas FAST+NMS kernel == jnp reference (same accumulate order =>
+    near bit-exact score maps; identical corner sets)."""
+    from boslam_tpu.features.frontend import _BOOST_HI, _fast_rank_maps
+    from boslam_tpu.ops.frontend_pallas import fast_rank_pallas
+
+    gray = _frontend_frame()
+    rank_ref, raw_ref = _fast_rank_maps(gray, 20.0, 7.0, 17)
+    rank, raw = fast_rank_pallas(gray, 20.0, 7.0, _BOOST_HI, 17,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(raw_ref),
+                               rtol=1e-5, atol=1e-3)
+    # Same corners selected (rank support identical), scores near-equal.
+    np.testing.assert_array_equal(np.asarray(rank) > 0,
+                                  np.asarray(rank_ref) > 0)
+    np.testing.assert_allclose(np.asarray(rank), np.asarray(rank_ref),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_fast_rank_pallas_ragged_height():
+    """Heights that don't divide the row tile are zero-padded, not wrapped."""
+    from boslam_tpu.features.frontend import _BOOST_HI, _fast_rank_maps
+    from boslam_tpu.ops.frontend_pallas import fast_rank_pallas
+
+    gray = _frontend_frame()[:230, :320]  # 230 % 64 != 0
+    rank_ref, raw_ref = _fast_rank_maps(gray, 20.0, 7.0, 17)
+    rank, raw = fast_rank_pallas(gray, 20.0, 7.0, _BOOST_HI, 17,
+                                 interpret=True)
+    assert rank.shape == rank_ref.shape
+    np.testing.assert_allclose(np.asarray(rank), np.asarray(rank_ref),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_extract_patches_pallas_matches_jnp():
+    from boslam_tpu.features.frontend import _extract_patches_jnp
+    from boslam_tpu.ops.frontend_pallas import extract_patches_pallas
+
+    gray = _frontend_frame()
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(rng.integers(17, 240 - 17, size=64), jnp.int32)
+    xs = jnp.asarray(rng.integers(17, 320 - 17, size=64), jnp.int32)
+    ref = _extract_patches_jnp(gray, ys, xs)
+    out = extract_patches_pallas(gray, ys, xs, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_extract_features_pallas_matches_jnp():
+    """Whole frontend, impl='pallas' (interpret) == impl='jnp': identical
+    keypoints and descriptors."""
+    from boslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+    from boslam_tpu.features import extract_features
+    from boslam_tpu.features.frontend import rgb_to_gray
+    from boslam_tpu.io import synthetic
+
+    cam = CameraConfig(width=320, height=240, fx=260.0, fy=260.0,
+                       cx=160.0, cy=120.0)
+    rgb, depth = synthetic.render_frame(
+        cam, np.array([1.0, 0, 0, 0, 0.1, -0.1, 0.2])
+    )
+    gray, depth = jnp.asarray(rgb_to_gray(rgb)), jnp.asarray(depth)
+    cfg_j = SlamConfig(camera=cam, orb=OrbConfig(
+        n_features=256, n_levels=4, frontend_impl="jnp"))
+    cfg_p = SlamConfig(camera=cam, orb=OrbConfig(
+        n_features=256, n_levels=4, frontend_impl="pallas"))
+    fj = extract_features(gray, depth, cfg_j)
+    fp = extract_features(gray, depth, cfg_p)
+    np.testing.assert_array_equal(np.asarray(fp.valid), np.asarray(fj.valid))
+    v = np.asarray(fj.valid)
+    np.testing.assert_allclose(
+        np.asarray(fp.uv)[v], np.asarray(fj.uv)[v], atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fp.desc)[v], np.asarray(fj.desc)[v]
+    )
+    np.testing.assert_allclose(
+        np.asarray(fp.angle)[v], np.asarray(fj.angle)[v], atol=1e-4
+    )
