@@ -1,14 +1,22 @@
 """Benchmark harness: the BASELINE.json primary metrics on one chip.
 
 Workload (no TUM data ships in this container — SURVEY.md §0):
-1. **Tracking**: 200-frame deterministic synthetic RGBD loop trajectory at
-   full TUM geometry (640x480, default engine config: 512 features, 8
-   pyramid levels, 16k-point map, local BA on every keyframe, loop closure
-   armed).  Reports tracked frames/s/chip + ATE RMSE.
-2. **Global BA** (BASELINE config 4 scale): 256 keyframes x 50k landmarks x
-   131k observations, matrix-free PCG Schur; reports LM iters/s on cached
-   executables.
-3. **Per-stage ms** (feature / track / local BA) on production shapes.
+1. **Tracking** (BASELINE configs 1-3 in one run): 300-frame clover
+   trajectory in a hall-sized synthetic room (room_scale 2.5) at full TUM
+   geometry (640x480, 512 features, 8 pyramid levels, local BA on every
+   keyframe).  Three petals leave and re-enter the start region, so the
+   run exercises MULTIPLE loop closures with real accumulated drift
+   (local-scope tracking, the reference's track_local_map policy).
+   Reports tracked frames/s/chip, ATE RMSE, loops closed.
+2. **Tracked-map global BA** (BASELINE config 4 on ENGINE-BUILT state):
+   a 400-frame survey trajectory with 1024 features / 64k-point capacity
+   drives the engine itself to a large map; global BA then runs on THAT
+   map (not a synthetic problem).  Reports LM iters/s + ATE before/after.
+3. **Global BA kernel scale** (config 4 kernel number): 256 keyframes x
+   50k landmarks x 131k observations from `synthetic_ba_problem`,
+   matrix-free PCG Schur; LM iters/s on cached executables.
+4. **Per-stage ms + utilization** (feature / track / local BA) on
+   production shapes (XLA-estimated FLOPs+bytes vs chip peaks).
 
 ``vs_baseline`` honesty note: the reference publishes no numbers and its
 mount is EMPTY (SURVEY.md §0/§6) so it was never measured; the denominator
@@ -31,20 +39,41 @@ import numpy as np
 BASELINE_FPS = 30.0  # ORB-SLAM family CPU rate — see module docstring.
 
 
-def bench_tracking(args):
-    import jax
+def _wire_frames(cfg, frames):
+    """Pre-quantize depth to u16 (the TUM on-disk PNG encoding): datasets
+    arrive in wire format; quantizing f32 synthetic renders per-frame in
+    the measured loop would bill dataset-creation work to the engine."""
+    from boslam_tpu.slam import depth_to_u16
+
+    return [
+        (ts, rgb, depth_to_u16(d, cfg.camera.depth_factor))
+        for ts, rgb, d in frames
+    ]
+
+
+def _ate(slam, traj):
     import jax.numpy as jnp
 
-    from boslam_tpu.config import LoopConfig, SlamConfig, TrackerConfig
     from boslam_tpu.geometry import align
+
+    _, est = slam.trajectory()
+    rmse, _ = align.ate_rmse(
+        jnp.asarray(est[:, 4:]), jnp.asarray(traj.poses_twc[:, 4:])
+    )
+    return float(rmse)
+
+
+def bench_tracking(args):
+    from boslam_tpu.config import (
+        CameraConfig, LoopConfig, SlamConfig, TrackerConfig,
+    )
     from boslam_tpu.io import synthetic
     from boslam_tpu.slam import SlamSystem
     from boslam_tpu.utils.timing import stage_timings
 
-    # Keyframe-heavy policy + armed loop closing (VERDICT r1 item 7): the
-    # slow smooth orbit would otherwise yield too few keyframes for the
-    # loop-detection gap/consistency machinery to engage.
+    cam = CameraConfig(depth_max=20.0)  # hall-sized scene, fr2-class range
     cfg = SlamConfig(
+        camera=cam,
         loop=LoopConfig(min_gap_kf=8, consistency=2),
         tracker=TrackerConfig(kf_min_interval=2, kf_tracked_ratio=0.8),
     )
@@ -52,16 +81,16 @@ def bench_tracking(args):
         import dataclasses
 
         cfg = cfg.replace(
-            camera=dataclasses.replace(
-                cfg.camera, depth_wire_stride=args.depth_stride
-            )
+            camera=dataclasses.replace(cam, depth_wire_stride=args.depth_stride)
         )
 
-    traj = synthetic.orbit_trajectory(
-        args.frames, radius=0.8, yaw_amplitude=0.4, loop=True
+    traj = synthetic.clover_trajectory(
+        args.frames, n_petals=3, radius=2.8, yaw_amplitude=0.5
     )
     t0 = time.perf_counter()
-    frames = synthetic.render_sequence(cfg.camera, traj)
+    frames = _wire_frames(cfg, synthetic.render_sequence(
+        cfg.camera, traj, depth_noise=0.01, seed=3, room_scale=2.5
+    ))
     print(
         f"[bench] rendered {len(frames)} frames in "
         f"{time.perf_counter()-t0:.1f}s", file=sys.stderr,
@@ -88,14 +117,11 @@ def bench_tracking(args):
     slam.flush()
     fps = len(frames) / (time.perf_counter() - t0)
 
-    ts_arr, est = slam.trajectory()
-    rmse, _ = align.ate_rmse(
-        jnp.asarray(est[:, 4:]), jnp.asarray(traj.poses_twc[:, 4:])
-    )
+    rmse = _ate(slam, traj)
     n_lost = sum(1 for m in slam.metrics if m.get("lost", False))
     n_kf_events = sum(1 for m in slam.metrics if m.get("event") == "keyframe")
     print(
-        f"[bench] fps={fps:.2f} ate_rmse={float(rmse):.4f}m "
+        f"[bench] fps={fps:.2f} ate_rmse={rmse:.4f}m "
         f"kf={slam.n_keyframes} (events={n_kf_events}) pts={slam.n_points} "
         f"lost={n_lost} loops={slam.n_loops_closed}", file=sys.stderr,
     )
@@ -104,7 +130,8 @@ def bench_tracking(args):
     if not args.no_stages:
         from boslam_tpu.features.frontend import rgb_to_gray
 
-        _, rgb, depth = frames[len(frames) // 2]
+        _, rgb, d16 = frames[len(frames) // 2]
+        depth = d16.astype(np.float32) / cfg.camera.depth_factor
         stages = stage_timings(slam, rgb_to_gray(rgb), depth)
         print(f"[bench] stages: " + " ".join(
             f"{k}={v:.4f}" if "util" in k else f"{k}={v:.2f}"
@@ -112,17 +139,98 @@ def bench_tracking(args):
 
     return {
         "fps": round(fps, 3),
-        "ate_rmse_m": round(float(rmse), 5),
+        "ate_rmse_m": round(rmse, 5),
         "keyframes": int(slam.n_keyframes),
         "map_points": int(slam.n_points),
         "loops_closed": int(slam.n_loops_closed),
+        "loop_edges": int(slam.map.n_loop_edges),
         "lost_frames": n_lost,
         **{k: round(v, 4 if "util" in k else 2) for k, v in stages.items()},
     }
 
 
+def bench_tracked_global_ba(args):
+    """BASELINE config 4 on a map the ENGINE built (VERDICT r2 item 3):
+    drive tracking over a survey trajectory to a large live map, then
+    global-BA that state and measure LM iters/s + ATE before/after."""
+    import jax
+    import jax.numpy as jnp
+
+    from boslam_tpu.config import (
+        CameraConfig, LoopConfig, MapConfig, OrbConfig, SlamConfig,
+        TrackerConfig,
+    )
+    from boslam_tpu.io import synthetic
+    from boslam_tpu.slam import SlamSystem
+    from boslam_tpu.solvers.global_ba import global_bundle_adjustment
+
+    cam = CameraConfig(depth_max=20.0)
+    cfg = SlamConfig(
+        camera=cam,
+        orb=OrbConfig(n_features=1024),
+        map=MapConfig(max_keyframes=256, max_points=65536),
+        loop=LoopConfig(min_gap_kf=8, consistency=2),
+        tracker=TrackerConfig(kf_min_interval=2, kf_tracked_ratio=0.8),
+    )
+    traj = synthetic.survey_trajectory(args.ba_frames, span=4.5)
+    t0 = time.perf_counter()
+    frames = _wire_frames(cfg, synthetic.render_sequence(
+        cfg.camera, traj, depth_noise=0.01, seed=5, room_scale=2.5
+    ))
+    print(
+        f"[bench] tracked-BA: rendered {len(frames)} frames in "
+        f"{time.perf_counter()-t0:.1f}s", file=sys.stderr,
+    )
+    t0 = time.perf_counter()
+    slam = SlamSystem(cfg)
+    for ts, rgb, depth in frames:
+        slam.feed(ts, rgb, depth)
+    slam.flush()
+    print(
+        f"[bench] tracked-BA: engine run {time.perf_counter()-t0:.1f}s "
+        f"(incl. compiles) kf={slam.n_keyframes} pts={slam.n_points}",
+        file=sys.stderr,
+    )
+    ate_before = _ate(slam, traj)
+
+    lm_iters = cfg.loop.global_ba_iters
+    run = lambda st: global_bundle_adjustment(
+        cfg, st, lm_iters=lm_iters, cg_iters=cfg.loop.global_ba_cg_iters
+    )
+    st2, stats = run(slam.map)          # compile + settle
+    np.asarray(st2.kf_pose)             # value read = real sync (axon)
+    # Salt the timed input so a cached (program, inputs) result can't
+    # short-circuit the measurement (remote-runtime finding, r3).
+    salted = slam.map._replace(kf_pose=slam.map.kf_pose + 1e-30)
+    t0 = time.perf_counter()
+    st2, stats = run(salted)
+    np.asarray(st2.kf_pose)
+    dt = time.perf_counter() - t0
+    slam.map = st2
+    ate_after = _ate(slam, traj)
+    out = {
+        "tba_keyframes": int(slam.n_keyframes),
+        "tba_points": int(slam.n_points),
+        "tba_edges": int(stats.n_edges),
+        "tba_iters_per_sec": round(lm_iters / dt, 3),
+        "tba_cost_reduction": round(
+            float(stats.cost0 / max(float(stats.cost1), 1e-9)), 2
+        ),
+        "tba_ate_before_m": round(ate_before, 5),
+        "tba_ate_after_m": round(ate_after, 5),
+        "tba_loops_closed": int(slam.n_loops_closed),
+    }
+    print(
+        f"[bench] tracked-BA: {out['tba_edges']} edges over "
+        f"{out['tba_keyframes']} kf / {out['tba_points']} pts, "
+        f"{out['tba_iters_per_sec']} LM iters/s, ATE {ate_before:.4f} -> "
+        f"{ate_after:.4f} m", file=sys.stderr,
+    )
+    return out
+
+
 def bench_global_ba(args):
-    """BASELINE config-4 scale: 50k landmarks, 131k observations."""
+    """BASELINE config-4 kernel scale: 50k landmarks, 131k observations."""
     import jax
     import jax.numpy as jnp
 
@@ -139,16 +247,17 @@ def bench_global_ba(args):
         cfg, rng, n_kf=256, n_pts=args.ba_points, obs_per_kf=512
     )
     lm_iters = 6
-    run = lambda: global_bundle_adjustment(cfg, st, lm_iters=lm_iters,
-                                           cg_iters=40)
-    st2, stats = run()
-    jax.block_until_ready(st2.kf_pose)  # compile
+    run = lambda s: global_bundle_adjustment(cfg, s, lm_iters=lm_iters,
+                                             cg_iters=40)
+    st2, stats = run(st)
+    np.asarray(st2.kf_pose)  # compile + settle (value read = real sync)
     t0 = time.perf_counter()
-    st2, stats = run()
-    jax.block_until_ready(st2.kf_pose)
+    st2, stats = run(st._replace(kf_pose=st.kf_pose + 1e-30))
+    np.asarray(st2.kf_pose)
     dt = time.perf_counter() - t0
     iters_per_s = lm_iters / dt
     from boslam_tpu.geometry import se3
+    import jax.numpy as jnp
 
     _, terr = se3.pose_distance(st2.kf_pose[:256], gt_poses)
     print(
@@ -167,12 +276,14 @@ def bench_global_ba(args):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--warmup-frames", type=int, default=None)
+    ap.add_argument("--ba-frames", type=int, default=500)
     ap.add_argument("--ba-points", type=int, default=50000)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument("--no-stages", action="store_true")
     ap.add_argument("--no-global-ba", action="store_true")
+    ap.add_argument("--no-tracked-ba", action="store_true")
     ap.add_argument("--depth-stride", type=int, default=None)
     args = ap.parse_args()
 
@@ -183,6 +294,8 @@ def main() -> None:
     print(f"[bench] device: {jax.devices()[0]}", file=sys.stderr)
 
     extras = bench_tracking(args)
+    if not args.no_tracked_ba:
+        extras.update(bench_tracked_global_ba(args))
     if not args.no_global_ba:
         extras.update(bench_global_ba(args))
 

@@ -79,6 +79,14 @@ class TrackerConfig:
     """Frame-to-map tracking (reference tracking.py, SURVEY.md §2.1/§3.2)."""
 
     min_inliers: int = 12          # below this -> LOST
+    # Projection-matching scope. "local" (reference policy, SURVEY.md §3.2
+    # track_local_map): match only points observed by the reference
+    # keyframe's covisibility neighborhood (2 rings) — O(local) aliasing,
+    # scales to 50k+ maps, and revisits beyond the search window need a
+    # LOOP CLOSURE exactly like the reference.  "global": project the whole
+    # map every frame — self-relocalizing on small maps, but aliases and
+    # costs more as the map grows.
+    track_scope: str = "local"
     ba_rounds: int = 3             # motion-only BA outer rounds with chi2 gating
     ba_iters: int = 6              # GN iterations per round
     chi2_2d: float = 5.991         # 95% chi-square, 2 dof (reprojection)

@@ -55,12 +55,15 @@ def _texture(p: np.ndarray, plane_id: int) -> np.ndarray:
 
 
 def render_frame(
-    cam: CameraConfig, pose_twc: np.ndarray
+    cam: CameraConfig, pose_twc: np.ndarray, room_scale: float = 1.0
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Render (rgb u8 [H,W,3], depth f32 metres [H,W]) from a world pose T_wc.
 
     pose_twc: [7] = (qw qx qy qz tx ty tz); rays are cast through every pixel
     and intersected with the room's 6 planes; nearest hit wins.
+    ``room_scale`` scales the room's plane offsets (texture texel size stays
+    fixed in metres): >1 gives a hall-sized scene (the fr2/large class)
+    where view overlap between path segments is low.
     """
     H, W = cam.height, cam.width
     qw, qx, qy, qz = pose_twc[:4]
@@ -83,6 +86,7 @@ def render_frame(
     best_t = np.full((H, W), np.inf, np.float32)
     gray = np.zeros((H, W), np.float32)
     for pid, (axis, off, sign) in enumerate(_PLANES):
+        off = off * room_scale
         d = dirs_w[..., axis]
         denom = np.where(np.abs(d) < 1e-9, 1e-9, d)
         ray_t = (off - t[axis]) / denom
@@ -152,26 +156,67 @@ def orbit_trajectory(
     return Trajectory(np.array(poses), ts)
 
 
-def multi_loop_trajectory(
+def clover_trajectory(
     n_frames: int,
-    n_loops: int = 2,
+    n_petals: int = 2,
     radius: float = 0.8,
     yaw_amplitude: float = 0.25,
     fps: float = 30.0,
 ) -> Trajectory:
-    """``n_loops`` consecutive traversals of the same closed orbit (the
-    fr2/large-with-loop class, BASELINE config 3): every pass after the
-    first continuously revisits pass-1 territory, so a correct loop closer
-    fires at several spatially distinct places along the path, not just
-    once at the start."""
+    """``n_petals`` closed excursions that each leave the start region and
+    return to it (the fr2/large-with-loop class, BASELINE config 3).
+
+    Each petal is a circle through the origin, the k-th rotated about the
+    y axis by k * 2pi/(3*n_petals): petals explore DIFFERENT territory and
+    only re-meet at the shared start, so a correct loop closer fires once
+    per petal at spatially distinct places.  (A repeated traversal of ONE
+    orbit cannot test this: after the first correction the map is merged
+    and every later frame is covisible with it, suppressing candidates.)
+    """
     poses = []
     for i in range(n_frames):
-        s = (i / max(n_frames - 1, 1)) * n_loops * 2 * np.pi
-        tx = radius * np.sin(s)
-        tz = radius * (1 - np.cos(s)) * 0.5
-        ty = 0.1 * np.sin(2 * s)
-        yaw = yaw_amplitude * np.sin(s)
+        s = (i / max(n_frames - 1, 1)) * n_petals  # in [0, n_petals]
+        petal = min(int(s), n_petals - 1)
+        f = s - petal
+        # Smoothstep easing: the camera dwells near the shared origin at
+        # petal boundaries, giving the loop closer several keyframes of
+        # genuine revisit (temporal consistency needs consecutive hits).
+        phi = 2 * np.pi * (3 * f * f - 2 * f * f * f)
+        alpha = 2 * np.pi * petal / (3.0 * n_petals)
+        # Circle through the origin in the xz-plane, rotated by alpha.
+        px = radius * np.sin(phi)
+        pz = radius * (1 - np.cos(phi)) * 0.5
+        tx = np.cos(alpha) * px + np.sin(alpha) * pz
+        tz = -np.sin(alpha) * px + np.cos(alpha) * pz
+        ty = 0.1 * np.sin(2 * phi)
+        yaw = yaw_amplitude * np.sin(phi)
         q = _rotvec_to_quat(np.array([0.0, yaw, 0.0]))
+        poses.append(np.concatenate([q, [tx, ty, tz]]))
+    ts = np.arange(n_frames) / fps
+    return Trajectory(np.array(poses), ts)
+
+
+def survey_trajectory(n_frames: int, span: float = 2.2,
+                      fps: float = 30.0) -> Trajectory:
+    """Exploratory scan of the whole room (the BASELINE config-4 map-scale
+    driver): a lissajous position sweep plus one full 360-degree yaw turn,
+    so most wall area is observed, at several distances.  Maximizes NOVEL
+    viewpoints — keyframes are retained instead of culled as redundant and
+    the map grows to tens of thousands of landmarks, unlike the orbit /
+    clover fixtures whose revisits keep the map small."""
+    poses = []
+    for i in range(n_frames):
+        t = i / max(n_frames - 1, 1)
+        tx = span * np.sin(2 * np.pi * t)
+        tz = 0.8 * span * np.sin(4 * np.pi * t) + 0.8
+        ty = 0.5 * np.sin(6 * np.pi * t)
+        yaw = 2 * np.pi * t
+        pitch = 0.2 * np.sin(4 * np.pi * t)
+        q = _quat_mul(
+            _rotvec_to_quat(np.array([0.0, yaw, 0.0])),
+            _rotvec_to_quat(np.array([pitch, 0.0, 0.0])),
+        )
+        q = q / np.linalg.norm(q)
         poses.append(np.concatenate([q, [tx, ty, tz]]))
     ts = np.arange(n_frames) / fps
     return Trajectory(np.array(poses), ts)
@@ -200,13 +245,14 @@ def random_walk_trajectory(
 
 
 def render_sequence(
-    cam: CameraConfig, traj: Trajectory, depth_noise: float = 0.0, seed: int = 0
+    cam: CameraConfig, traj: Trajectory, depth_noise: float = 0.0, seed: int = 0,
+    room_scale: float = 1.0,
 ) -> List[Tuple[float, np.ndarray, np.ndarray]]:
     """Render a full sequence: list of (timestamp, rgb, depth)."""
     rng = np.random.default_rng(seed)
     frames = []
     for ts, pose in zip(traj.timestamps, traj.poses_twc):
-        rgb, depth = render_frame(cam, pose)
+        rgb, depth = render_frame(cam, pose, room_scale=room_scale)
         if depth_noise > 0:
             depth = depth + rng.normal(size=depth.shape).astype(np.float32) * (
                 depth_noise * depth

@@ -50,28 +50,47 @@ def detect_loop(cfg: SlamConfig, loop: LoopState, map_state, kf_id):
         & loop.vocab_ready
         & (scores >= jnp.maximum(min_score, 0.02))
     )
-    best = jnp.argmax(jnp.where(cand_mask, scores, -1.0))
-    found = cand_mask[best]
-    cand = jnp.where(found, best, -1).astype(jnp.int32)
+    # Top-C candidates with PARALLEL consistency streaks (reference
+    # mvConsistentGroups): a genuine revisit must keep building its streak
+    # even when an aliased-texture candidate outscores it on individual
+    # keyframes, so the single-argmax streak is not enough.
+    C = loop.streak_kf.shape[0]
+    svals, sidx = jax.lax.top_k(jnp.where(cand_mask, scores, -1.0), C)
+    found_c = jnp.take(cand_mask, sidx)                  # [C]
 
-    # Temporal consistency: the same MAP REGION must fire on consecutive KFs,
-    # where "same region" = the covisibility groups of this candidate and the
-    # previous streak candidate intersect (reference consistency-group policy;
-    # slot-id adjacency is meaningless once culled slots are reused).
-    prev = jnp.clip(loop.streak_kf, 0, K - 1)
-    g_cand = ((map_state.covis[best] > 0) | (jnp.arange(K) == best))
-    g_prev = ((map_state.covis[prev] > 0) | (jnp.arange(K) == prev))
-    overlap = jnp.any(g_cand & g_prev & map_state.kf_valid)
-    near_prev = found & (loop.streak_kf >= 0) & overlap
-    streak = jnp.where(near_prev, loop.streak_len + 1, jnp.where(found, 1, 0))
+    # Group of candidate c = its covisibility neighborhood (+ itself); the
+    # streak continues if it overlaps ANY previous streak's group.  Covis
+    # groups, not slot adjacency: slots are free-list reused.
+    eye_c = jax.nn.one_hot(sidx, K, dtype=bool)
+    g_cand = ((map_state.covis[sidx] > 0) | eye_c) & map_state.kf_valid
+    prev = jnp.clip(loop.streak_kf, 0, K - 1)            # [C]
+    eye_p = jax.nn.one_hot(prev, K, dtype=bool)
+    g_prev = (
+        ((map_state.covis[prev] > 0) | eye_p)
+        & map_state.kf_valid
+        & (loop.streak_kf >= 0)[:, None]
+    )
+    overlap = jnp.any(g_cand[:, None, :] & g_prev[None, :, :], -1)  # [C, C]
+    prev_len = jnp.max(
+        jnp.where(overlap, loop.streak_len[None, :], 0), axis=1
+    )                                                    # [C]
+    streak = jnp.where(found_c, prev_len + 1, 0)
     new_loop = loop._replace(
-        streak_kf=jnp.where(found, cand, -1).astype(jnp.int32),
+        streak_kf=jnp.where(found_c, sidx, -1).astype(jnp.int32),
         streak_len=streak.astype(jnp.int32),
     )
+
+    consistent_c = found_c & (streak >= lc.consistency)
+    # Report the best consistent candidate if any, else the best candidate
+    # (host logs it; verification keys off `consistent`).
+    pick = jnp.argmax(jnp.where(consistent_c, svals, -1.0))
+    any_cons = consistent_c[pick]
+    best = jnp.where(any_cons, sidx[pick], sidx[0])
+    found = jnp.where(any_cons, True, found_c[0])
     det = LoopDetection(
-        candidate=cand,
+        candidate=jnp.where(found, best, -1).astype(jnp.int32),
         score=scores[jnp.clip(best, 0, K - 1)],
-        consistent=found & (streak >= lc.consistency),
+        consistent=any_cons,
     )
     return new_loop, det
 

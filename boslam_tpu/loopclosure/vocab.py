@@ -21,13 +21,21 @@ from boslam_tpu.config import SlamConfig
 from boslam_tpu.matching import hamming
 
 
+# Parallel temporal-consistency groups (reference mvConsistentGroups: every
+# candidate group is checked against ALL of last keyframe's groups, so a
+# genuine revisit builds its streak even while aliased-texture candidates
+# outscore it on individual keyframes).
+N_STREAKS = 4
+
+
 class LoopState(NamedTuple):
     vocab: jnp.ndarray        # [V, 8] u32 word descriptors
     vocab_ready: jnp.ndarray  # scalar bool
     kf_bow: jnp.ndarray       # [K, V] f32 L2-normalized tf vectors
-    # Temporal-consistency tracker (reference: >= 3 consecutive hits).
-    streak_kf: jnp.ndarray    # scalar i32 candidate group anchor
-    streak_len: jnp.ndarray   # scalar i32
+    # Temporal-consistency tracker (reference: >= 3 consecutive hits over
+    # overlapping covisibility groups, N_STREAKS tracked in parallel).
+    streak_kf: jnp.ndarray    # [N_STREAKS] i32 candidate group anchors (-1)
+    streak_len: jnp.ndarray   # [N_STREAKS] i32
 
 
 def empty_loop_state(cfg: SlamConfig) -> LoopState:
@@ -37,8 +45,8 @@ def empty_loop_state(cfg: SlamConfig) -> LoopState:
         vocab=jnp.zeros((V, 8), jnp.uint32),
         vocab_ready=jnp.zeros((), bool),
         kf_bow=jnp.zeros((K, V)),
-        streak_kf=jnp.full((), -1, jnp.int32),
-        streak_len=jnp.zeros((), jnp.int32),
+        streak_kf=jnp.full((N_STREAKS,), -1, jnp.int32),
+        streak_len=jnp.zeros((N_STREAKS,), jnp.int32),
     )
 
 

@@ -167,7 +167,7 @@ class BatchedSlamSystem:
         ``active`` [S] bools (default all True): inactive shards are no-ops
         on device and produce no host records — how unequal-length sequence
         batches run to each sequence's own end (run_sequences)."""
-        from boslam_tpu.slam import _BT601
+        from boslam_tpu.slam import depth_to_u16, to_gray_u8
 
         if active is None:
             active = [True] * self.n_seq
@@ -177,7 +177,7 @@ class BatchedSlamSystem:
         stride = self.cfg.camera.depth_wire_stride
         for rgb, depth in zip(rgbs, depths):
             if rgb.ndim == 3:
-                img = (rgb.astype(np.float32) @ _BT601).astype(np.uint8)
+                img = to_gray_u8(rgb)
             else:
                 img = rgb.astype(np.uint8)
             if stride > 1:
@@ -188,10 +188,7 @@ class BatchedSlamSystem:
             if depth.dtype == np.uint16:
                 d16 = depth
             else:
-                d16 = np.clip(
-                    depth.astype(np.float32) * self.cfg.camera.depth_factor,
-                    0, 65535,
-                ).astype(np.uint16)
+                d16 = depth_to_u16(depth, self.cfg.camera.depth_factor)
             imgs.append(img)
             d16s.append(d16)
         img_b = jax.device_put(np.stack(imgs), self._shard)

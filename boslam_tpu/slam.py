@@ -41,6 +41,25 @@ from boslam_tpu.tracking.tracker import ST_LOST, ST_OK, ST_UNINIT
 
 _BT601 = np.asarray([0.299, 0.587, 0.114], np.float32)
 
+try:  # cv2's SIMD cvtColor is ~9x faster than the numpy BT.601 matmul.
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover
+    _cv2 = None
+
+
+def to_gray_u8(rgb: np.ndarray) -> np.ndarray:
+    """Host-side u8 RGB -> u8 BT.601 gray (the engine wire format)."""
+    if _cv2 is not None:
+        return _cv2.cvtColor(rgb, _cv2.COLOR_RGB2GRAY)
+    return (rgb.astype(np.float32) @ _BT601).astype(np.uint8)
+
+
+def depth_to_u16(depth: np.ndarray, depth_factor: float) -> np.ndarray:
+    """Host-side f32 metres -> u16 at the TUM depth encoding (wire format)."""
+    buf = depth * np.float32(depth_factor)
+    np.clip(buf, 0, 65535, out=buf)
+    return buf.astype(np.uint16)
+
 # Packed per-frame output row (f32[OUT_DIM]) — the ONLY device->host data.
 O_POSE0 = 0          # [0:7] pose T_wc (w x y z tx ty tz)
 O_STATUS = 7         # track status AFTER the frame
@@ -253,10 +272,8 @@ class SlamSystem:
         t0 = time.perf_counter()
         if rgb.ndim == 3:
             # BT.601 gray on host: 3x fewer wire bytes than u8 RGB (the
-            # H2D link is the scarce resource; the cast is ~1 ms numpy).
-            img = jnp.asarray(
-                (rgb.astype(np.float32) @ _BT601).astype(np.uint8)
-            )
+            # H2D link is the scarce resource).
+            img = jnp.asarray(to_gray_u8(rgb))
         else:
             img = jnp.asarray(
                 rgb if rgb.dtype == np.uint8 else
@@ -269,10 +286,7 @@ class SlamSystem:
             d16 = jnp.asarray(np.ascontiguousarray(depth))
         else:
             d16 = jnp.asarray(
-                np.clip(
-                    depth.astype(np.float32) * self.cfg.camera.depth_factor,
-                    0, 65535,
-                ).astype(np.uint16)
+                depth_to_u16(depth, self.cfg.camera.depth_factor)
             )
         self.map, self.loop, self.track, self.key, row = _fused_frame_step(
             self.cfg, self.map, self.loop, self.track, self.key, img, d16,
@@ -331,7 +345,9 @@ class SlamSystem:
                     rec["loop_candidate"] = int(r[O_LCAND])
                     rec["loop_score"] = float(r[O_LSCORE])
                 if r[O_LCONS] > 0.5:
-                    loop_requests.append((kf_id, int(r[O_LCAND])))
+                    # rec rides along so verify results land on the
+                    # TRIGGERING keyframe's record, not the chunk's last.
+                    loop_requests.append((kf_id, int(r[O_LCAND]), rec))
             self.metrics.append(rec)
 
         # --- host-mediated events (rare; reference's async workers) ----
@@ -365,22 +381,25 @@ class SlamSystem:
         return self.poses_twc[-1]
 
     # ------------------------------------------------------------------
-    def _try_close_loop(self, kf_id: int, cand: int) -> bool:
+    def _try_close_loop(self, kf_id: int, cand: int, rec=None) -> bool:
         """Geometric verification + loop correction (reference §3.4).
         Returns True iff a correction was applied."""
         if cand < 0:
             return False
+        if rec is None:
+            rec = self.metrics[-1]
         self.key, k = jax.random.split(self.key)
         ok, t_rel, n_inl, midx, mok = verify_loop(
             self.cfg, self.map, jnp.asarray(kf_id), jnp.asarray(cand), k
         )
-        self.metrics[-1]["loop_inliers"] = int(n_inl)
+        rec["loop_inliers"] = int(n_inl)
         if not bool(ok):
             return False
-        self._close_loop(kf_id, cand, t_rel, midx, mok)
+        self._close_loop(kf_id, cand, t_rel, midx, mok, rec)
         return True
 
-    def _close_loop(self, kf_id: int, cand: int, t_rel, midx, mok) -> None:
+    def _close_loop(self, kf_id: int, cand: int, t_rel, midx, mok,
+                    rec=None) -> None:
         """Correct the loop (reference correct_loop, §3.4): point fusion +
         loop edge + essential-graph optimization + map propagation, fused
         into ONE jitted device call (close_loop_update)."""
@@ -393,7 +412,7 @@ class SlamSystem:
             pose_cw=pose_kf, velocity=se3.pose_identity()
         )
         self.n_loops_closed += 1
-        self.metrics[-1]["event"] = "loop_closed"
+        (rec if rec is not None else self.metrics[-1])["event"] = "loop_closed"
         if cfg.loop.run_global_ba:
             # Reference §3.4: optional full-map BA after the pose-graph
             # correction (side thread there; a jitted call here).

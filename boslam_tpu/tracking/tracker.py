@@ -70,10 +70,27 @@ def init_track_state() -> TrackState:
     )
 
 
-def _match_and_optimize(cfg, feats, pose_pred, map_state, radius, max_dist, ratio):
+def _local_point_mask(map_state, last_kf):
+    """Points observed by the reference keyframe's covisibility
+    neighborhood, two rings deep (the reference's local tracking map,
+    SURVEY.md §3.2 track_local_map)."""
+    K = map_state.kf_valid.shape[0]
+    P = map_state.pt_valid.shape[0]
+    self_row = jnp.arange(K) == last_kf
+    nb1 = ((map_state.covis[last_kf] > 0) | self_row) & map_state.kf_valid
+    nb2 = ((map_state.covis @ nb1.astype(jnp.int32)) > 0) | nb1
+    nb2 = nb2 & map_state.kf_valid
+    obs = map_state.kf_obs_pt                                  # [K, N]
+    sel = nb2[:, None] & map_state.kf_kp_valid & (obs >= 0)
+    ids = jnp.where(sel, obs, P)  # P = out of range -> dropped
+    return jnp.zeros((P,), bool).at[ids.reshape(-1)].set(True, mode="drop")
+
+
+def _match_and_optimize(cfg, feats, pose_pred, map_state, pt_mask,
+                        radius, max_dist, ratio):
     idx, ok, vis, _ = projection.search_by_projection(
         cfg, feats, pose_pred, map_state.pt_xyz, map_state.pt_desc,
-        map_state.pt_valid, radius=radius, max_dist=max_dist, ratio=ratio,
+        pt_mask, radius=radius, max_dist=max_dist, ratio=ratio,
         pt_angle=map_state.pt_angle,
     )
     P = map_state.pt_xyz.shape[0]
@@ -93,9 +110,17 @@ def track_frame(cfg: SlamConfig, map_state, track: TrackState, feats):
     mc = cfg.matcher
     pose_pred = se3.pose_compose(track.velocity, track.pose_cw)
 
+    if tk.track_scope == "local":
+        pt_mask = map_state.pt_valid & _local_point_mask(
+            map_state, track.last_kf
+        )
+    else:
+        pt_mask = map_state.pt_valid
+
     # Pass 1: tight window from motion model.
     idx1, ok1, res1, vis1 = _match_and_optimize(
-        cfg, feats, pose_pred, map_state, mc.search_radius, mc.hamming_low, mc.ratio
+        cfg, feats, pose_pred, map_state, pt_mask,
+        mc.search_radius, mc.hamming_low, mc.ratio,
     )
     # Fallback: if too few matches, widen (reference's lost-motion-model
     # path).  lax.cond so the expensive wide pass only runs when needed.
@@ -103,8 +128,8 @@ def track_frame(cfg: SlamConfig, map_state, track: TrackState, feats):
 
     def wide_pass(_):
         idx1b, ok1b, res1b, _ = _match_and_optimize(
-            cfg, feats, pose_pred, map_state, mc.search_radius_wide,
-            mc.hamming_high, mc.ratio,
+            cfg, feats, pose_pred, map_state, pt_mask,
+            mc.search_radius_wide, mc.hamming_high, mc.ratio,
         )
         return idx1b, ok1b, res1b.pose
 
@@ -115,7 +140,8 @@ def track_frame(cfg: SlamConfig, map_state, track: TrackState, feats):
 
     # Pass 2: track local map — refined pose, fresh window, re-optimize.
     idx2, ok2, res2, vis2 = _match_and_optimize(
-        cfg, feats, pose1, map_state, mc.search_radius, mc.hamming_high, 1.0
+        cfg, feats, pose1, map_state, pt_mask,
+        mc.search_radius, mc.hamming_high, 1.0,
     )
     pose = res2.pose
     inl = res2.inliers
@@ -276,10 +302,20 @@ def relocalize(cfg: SlamConfig, map_state, loop_state, track: TrackState,
         loop_state.vocab_ready, bow_path, global_path, None
     )
     good, pose, n_inl = _reloc_solve(cfg, pts_w, feats, idx, ok, key)
+    # Re-center the reference keyframe on the recovered pose: local-scope
+    # tracking (cfg.tracker.track_scope) builds its map around last_kf, so
+    # leaving it at the pre-loss keyframe would immediately lose again.
+    cam_w = se3.pose_inv(pose)[4:]
+    kf_w = jax.vmap(se3.pose_inv)(map_state.kf_pose)[:, 4:]
+    d2 = jnp.sum((kf_w - cam_w[None, :]) ** 2, axis=-1)
+    nearest = jnp.argmin(
+        jnp.where(map_state.kf_valid, d2, jnp.inf)
+    ).astype(jnp.int32)
     new_track = track._replace(
         pose_cw=jnp.where(good, pose, track.pose_cw),
         velocity=se3.pose_identity(),
         status=jnp.where(good, ST_OK, ST_LOST).astype(jnp.int32),
+        last_kf=jnp.where(good, nearest, track.last_kf),
         frame_idx=track.frame_idx + 1,
     )
     return new_track, good, n_inl

@@ -64,7 +64,11 @@ def restore(path: str, slam) -> None:
         fields = template._fields
         vals = template._asdict()
         for k, v in saved.items():
-            if k in fields:
+            # Shape guard: a field whose shape changed since the snapshot
+            # (e.g. the loop streak tracker growing from scalar to
+            # [N_STREAKS]) keeps the template default — transient state
+            # resets instead of poisoning downstream shapes.
+            if k in fields and jnp.asarray(v).shape == jnp.shape(vals[k]):
                 vals[k] = jnp.asarray(v)
         return type(template)(**vals)
 

@@ -23,35 +23,55 @@ REPS = 20
 
 
 def timed(name, fn, *args):
-    """fn must be jittable: (*args) -> array or tuple; reports ms/iter."""
+    """fn must be jittable: (*args) -> array or tuple; reports ms/iter.
 
-    def loop(args0):
-        def body(c, _):
-            args, acc = c
-            # Data-dependent perturbation of float inputs: defeats XLA's
-            # loop-invariant hoisting of the whole body out of the scan.
-            eps = acc * 1e-30
-            pargs = tuple(
-                a + eps if jnp.issubdtype(a.dtype, jnp.floating) else a
-                for a in args
-            )
-            out = fn(*pargs)
-            leaves = jax.tree_util.tree_leaves(out)
-            acc = acc + sum(
-                jnp.sum(l[..., :1].astype(jnp.float32)) for l in leaves
-            )
-            return (args, acc), None
+    Timing over a remote-TPU tunnel is a minefield (all three bit this
+    repo in r3, each producing fantasy sub-0.1ms numbers):
+    * FULL sums of every output leaf must feed the scan carry — summing a
+      slice (``leaves[..., :1]``) lets XLA DCE most of the body.
+    * A fresh ``salt`` input per call — identical repeated dispatches can
+      complete without re-executing.
+    * ``block_until_ready`` does not reliably include the ~25 ms tunnel
+      round trip, and a value read always does.  So: sync via a VALUE
+      READ, measure scans of length N and 2N, and report the DIFFERENCE
+      per iteration — constant overhead (RTT, dispatch) cancels.
+    """
 
-        (_, acc), _ = jax.lax.scan(body, (args0, 0.0), None, length=REPS)
-        return acc
+    def make(length):
+        def loop(args0, salt):
+            def body(c, _):
+                args, acc = c
+                # Data-dependent input perturbation: defeats hoisting the
+                # loop-invariant body out of the scan.
+                eps = acc * 1e-30 + salt * 1e-30
+                pargs = tuple(
+                    a + eps if jnp.issubdtype(a.dtype, jnp.floating) else a
+                    for a in args
+                )
+                out = fn(*pargs)
+                leaves = jax.tree_util.tree_leaves(out)
+                acc = acc + sum(
+                    jnp.sum(l.astype(jnp.float32)) for l in leaves
+                )
+                return (args, acc), None
 
-    jl = jax.jit(loop)
-    acc = jl(args)
-    jax.block_until_ready(acc)
-    t0 = time.perf_counter()
-    acc = jl(args)
-    jax.block_until_ready(acc)
-    ms = (time.perf_counter() - t0) * 1e3 / REPS
+            (_, acc), _ = jax.lax.scan(body, (args0, 0.0), None,
+                                       length=length)
+            return acc
+
+        return jax.jit(loop)
+
+    walls = {}
+    for length, jl in ((REPS, make(REPS)), (2 * REPS, make(2 * REPS))):
+        float(jl(args, np.float32(0)))  # compile + settle
+        out = []
+        for i in range(5):
+            salt = np.float32(length * 131 + i + 1)
+            t0 = time.perf_counter()
+            float(jl(args, salt))  # value read = real sync
+            out.append((time.perf_counter() - t0) * 1e3)
+        walls[length] = float(np.median(out))
+    ms = (walls[2 * REPS] - walls[REPS]) / REPS
     print(f"  {name:34s} {ms:7.3f} ms", flush=True)
     return ms
 
