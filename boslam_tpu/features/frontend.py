@@ -219,20 +219,25 @@ def _grid_select(rank: jnp.ndarray, k: int, rows: int, cols: int):
 
 def _subpixel_offsets(score, ys, xs):
     """Per-keypoint sub-pixel offsets from a 1D parabola fit per axis on the
-    raw (pre-NMS) FAST score map; clamped to [-0.5, 0.5]."""
+    raw (pre-NMS) FAST score map; clamped to [-0.5, 0.5].
 
-    def one(y, x):
-        p = jax.lax.dynamic_slice(score, (y - 1, x - 1), (3, 3))
-        c = p[1, 1]
+    One flat 5-value gather per keypoint (center + 4 axis neighbors)
+    instead of a vmapped 3x3 dynamic_slice: a single [K, 5] take kernel
+    replaces K serialized slice dispatches (~0.8 ms -> noise at K=512)."""
+    h, w = score.shape
+    ys = jnp.clip(ys, 1, h - 2)
+    xs = jnp.clip(xs, 1, w - 2)
+    base = ys * w + xs                                       # [K]
+    offs = jnp.asarray([0, -1, 1, -w, w], jnp.int32)         # c, x-, x+, y-, y+
+    vals = jnp.take(score.reshape(-1), base[:, None] + offs[None, :], axis=0)
+    c = vals[:, 0]
 
-        def fit(lo, hi):
-            denom = 2.0 * c - lo - hi
-            off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (hi - lo) / denom, 0.0)
-            return jnp.clip(off, -0.5, 0.5)
+    def fit(lo, hi):
+        denom = 2.0 * c - lo - hi
+        off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (hi - lo) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
 
-        return fit(p[1, 0], p[1, 2]), fit(p[0, 1], p[2, 1])
-
-    return jax.vmap(one)(ys, xs)
+    return fit(vals[:, 1], vals[:, 2]), fit(vals[:, 3], vals[:, 4])
 
 
 @functools.lru_cache(maxsize=1)
@@ -326,8 +331,17 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
     cam = cfg.camera
     impl = orb.frontend_impl
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if impl == "pallas":
+        # Measured on v5e (tools/profile_frontend.py, RTT-cancelled scan
+        # timing): the Pallas patch-copy kernel is ~16x faster than the
+        # vmapped dynamic_slice path, but the Pallas FAST kernel LOSES to
+        # the XLA-fused jnp margin maps (0.66 vs 0.20 ms) — so "auto" on
+        # TPU mixes: jnp FAST + Pallas patches.  "pallas"/"jnp" force both
+        # substages onto one path (tests pin each for golden equality).
+        fast_impl = "jnp"
+        patch_impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    else:
+        fast_impl = patch_impl = impl
+    if "pallas" in (fast_impl, patch_impl):
         from boslam_tpu.ops.frontend_pallas import (
             extract_patches_pallas, fast_rank_pallas,
         )
@@ -349,7 +363,7 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
         # Adaptive FAST threshold (reference ORB per-cell retry at the min
         # threshold): hi + lo scores in one pass; hi corners outrank lo ones
         # so lo corners only fill weak cells.
-        if impl == "pallas":
+        if fast_impl == "pallas":
             rank, raw_score = fast_rank_pallas(
                 level, t_hi, t_lo, _BOOST_HI, _LEVEL_BORDER, interpret=interp
             )
@@ -358,7 +372,7 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
         k = budgets[l]
         ys, xs, top = _grid_select(rank, k, orb.grid_rows, orb.grid_cols)
         valid = top > 0
-        if impl == "pallas":
+        if patch_impl == "pallas":
             patches = extract_patches_pallas(
                 blurred, ys, xs, half=HALF, interpret=interp
             )

@@ -155,12 +155,20 @@ def cull_points(cfg: SlamConfig, state: MapState, update_covis: bool = True) -> 
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def cull_one_keyframe(cfg: SlamConfig, state: MapState) -> MapState:
+def cull_one_keyframe(cfg: SlamConfig, state: MapState):
     """Cull the single most redundant keyframe, if any qualifies
     (reference: >= 90% of its points seen in >= 3 other keyframes).
 
     Root (0) and the latest keyframe are protected.  One-at-a-time matches
     the reference's incremental schedule and avoids cascade removals.
+
+    Returns (MapState, cull_info [11] f32): the victim's identity and its
+    pose RELATIVE to its spanning parent — [victim_slot, victim_seq,
+    parent_slot, parent_seq, T_victim_parent(7)], victim_slot = -1 when
+    nothing was culled.  The host records this chain (reference: erased
+    keyframes keep Tcp to their parent) so frames whose reference keyframe
+    was culled still re-anchor to a LIVE corrected keyframe at trajectory
+    dump time instead of falling back to their raw drifted pose.
     """
     K, N = state.kf_obs_pt.shape
     n_obs = point_obs_count(state)  # [P]
@@ -219,7 +227,20 @@ def cull_one_keyframe(cfg: SlamConfig, state: MapState) -> MapState:
         spanning_parent=new_sp,
         loop_edges=new_loop_edges,
     )
-    return recompute_covis(st)
+    t_vp = se3.pose_compose(
+        state.kf_pose[victim], se3.pose_inv(state.kf_pose[parent])
+    )
+    f32 = jnp.float32
+    cull_info = jnp.concatenate([
+        jnp.stack([
+            jnp.where(do, victim, -1).astype(f32),
+            state.kf_seq[victim].astype(f32),
+            parent.astype(f32),
+            state.kf_seq[parent].astype(f32),
+        ]),
+        t_vp,
+    ])
+    return recompute_covis(st), cull_info
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))

@@ -30,8 +30,8 @@ from boslam_tpu.geometry import se3
 from boslam_tpu.loopclosure import empty_loop_state, train_vocab, verify_loop
 from boslam_tpu.mapping import empty_map
 from boslam_tpu.slam import (
-    O_KF, O_KFID, O_LCAND, O_LCONS, O_LOST, O_NINL, O_NKF, O_POSE0, O_REF,
-    O_REFSEQ, O_REL0, O_STATUS, OUT_DIM, frame_step_core,
+    O_CULL0, O_KF, O_KFID, O_LCAND, O_LCONS, O_LOST, O_NINL, O_NKF, O_POSE0,
+    O_REF, O_REFSEQ, O_REL0, O_STATUS, OUT_DIM, frame_step_core,
 )
 from boslam_tpu.solvers.pose_graph import close_loop_update
 from boslam_tpu.tracking import init_track_state
@@ -67,6 +67,7 @@ def make_batched_step(cfg: SlamConfig, mesh: Mesh):
         def skip(ms, ls, tr, key):
             row = jnp.zeros((OUT_DIM,), jnp.float32).at[O_KFID].set(-1.0)
             row = row.at[O_LCAND].set(-1.0)
+            row = row.at[O_CULL0].set(-1.0)
             return ms, ls, tr, key, row
 
         ms, ls, tr, k, row = jax.lax.cond(

@@ -31,7 +31,8 @@ from boslam_tpu.config import SlamConfig
 from boslam_tpu.features import extract_features
 from boslam_tpu.geometry import se3
 from boslam_tpu.loopclosure import (
-    compute_bow, detect_loop, empty_loop_state, train_vocab, verify_loop,
+    compute_bow, detect_loop, empty_loop_state, train_vocab,
+    verify_loops_batch,
 )
 from boslam_tpu.mapping import empty_map, map_ops
 from boslam_tpu.solvers.local_ba import local_bundle_adjustment
@@ -83,7 +84,12 @@ O_REL0 = 24          # [24:31] T_cur_ref = T_cw(frame) ∘ T_wc(ref keyframe):
                      # lets the host re-anchor past frames to CORRECTED
                      # keyframe poses at dump time (reference trajectory
                      # dump policy — frames ride their reference KF)
-OUT_DIM = 31
+O_CULL0 = 31         # [31:42] cull chain record (map_ops.cull_one_keyframe):
+                     # [victim_slot(-1 = none), victim_seq, parent_slot,
+                     # parent_seq, T_victim_parent(7)] — the host keeps the
+                     # chain so frames anchored to culled keyframes still
+                     # resolve to a live corrected keyframe at dump time
+OUT_DIM = 42
 
 
 def frame_step_core(cfg: SlamConfig, map_state,
@@ -118,6 +124,7 @@ def frame_step_core(cfg: SlamConfig, map_state,
             jnp.zeros((OUT_DIM,), jnp.float32)
             .at[O_KFID].set(-1.0)
             .at[O_LCAND].set(-1.0)
+            .at[O_CULL0].set(-1.0)  # victim slot: -1 = nothing culled
             .at[O_STATUS].set(tr.status.astype(jnp.float32))
         )
 
@@ -164,7 +171,7 @@ def frame_step_core(cfg: SlamConfig, map_state,
             st = map_ops.fuse_new_keyframe(cfg, st, kf_id)
             st = map_ops.cull_points(cfg, st, update_covis=False)
             st, ba = local_bundle_adjustment(cfg, st, kf_id)
-            st = map_ops.cull_one_keyframe(cfg, st)
+            st, cull_info = map_ops.cull_one_keyframe(cfg, st)
             ls = compute_bow(cfg, ls, st, kf_id)
             ls, det = detect_loop(cfg, ls, st, kf_id)
             tr = tr._replace(
@@ -182,13 +189,15 @@ def frame_step_core(cfg: SlamConfig, map_state,
                 .at[6].set(det.score)
                 .at[7].set(det.consistent.astype(jnp.float32))
             )
-            return st, ls, tr, kf_row
+            return st, ls, tr, kf_row, cull_info
 
         def no_kf(ms, ls, tr):
             kf_row = jnp.zeros((8,), jnp.float32).at[1].set(-1.0).at[5].set(-1.0)
-            return ms, ls, tr, kf_row
+            return ms, ls, tr, kf_row, jnp.zeros((11,), jnp.float32).at[0].set(-1.0)
 
-        ms, ls, tr, kf_row = jax.lax.cond(can_kf, kf_event, no_kf, ms, ls, tr)
+        ms, ls, tr, kf_row, cull_info = jax.lax.cond(
+            can_kf, kf_event, no_kf, ms, ls, tr
+        )
         row = (
             base_row(tr)
             .at[O_NINL].set(out.n_inliers.astype(jnp.float32))
@@ -204,6 +213,7 @@ def frame_step_core(cfg: SlamConfig, map_state,
             .at[O_LSCORE].set(kf_row[6])
             .at[O_LCONS].set(kf_row[7])
         )
+        row = jax.lax.dynamic_update_slice(row, cull_info, (O_CULL0,))
         return ms, ls, tr, row
 
     map_state, loop_state, track, row = jax.lax.switch(
@@ -253,6 +263,10 @@ class SlamSystem:
         self.poses_twc: List[np.ndarray] = []
         # Per frame: (ref kf slot, kf_seq at record time, T_cur_ref [7]).
         self.frame_refs: List[tuple] = []
+        # Cull chain: (victim_slot, victim_seq) -> (parent_slot, parent_seq,
+        # T_victim_parent [7]) — frames anchored to culled keyframes chase
+        # this at dump time (reference: erased KFs keep Tcp to parent).
+        self.cull_chain: dict = {}
         self.metrics: List[dict] = []
         self.n_loops_closed = 0
         self._vocab_trained_at = -1  # n_kf at last vocabulary (re)train
@@ -318,6 +332,11 @@ class SlamSystem:
             self.frame_refs.append(
                 (int(r[O_REF]), int(r[O_REFSEQ]), r[O_REL0:O_REL0 + 7].copy())
             )
+            if r[O_CULL0] >= 0:
+                self.cull_chain[(int(r[O_CULL0]), int(r[O_CULL0 + 1]))] = (
+                    int(r[O_CULL0 + 2]), int(r[O_CULL0 + 3]),
+                    r[O_CULL0 + 4:O_CULL0 + 11].copy(),
+                )
             rec = {
                 "ts": ts,
                 "status": int(r[O_STATUS]),
@@ -364,11 +383,46 @@ class SlamSystem:
         if due:
             self.loop = train_vocab(self.cfg, self.loop, self.map)
             self._vocab_trained_at = n_kf
-        # Verify every consistent candidate from this drain (cheap jitted
-        # call each), but run at most one pose-graph CORRECTION — later
-        # requests reference the pre-correction map.
-        for req in loop_requests:
-            if self._try_close_loop(*req):
+        # Verify the drain's consistent candidates in ONE batched dispatch
+        # (sequential verifies cost ~2 tunnel round trips each — see
+        # verify_loops_batch), then run at most one pose-graph CORRECTION —
+        # later requests reference the pre-correction map.
+        self._verify_and_close(loop_requests)
+
+    # ------------------------------------------------------------------
+    # Max consistent candidates verified per drain; extras are dropped
+    # (they re-fire on the next keyframe if genuine).  Static so the
+    # batched verify compiles once.
+    MAX_VERIFY = 4
+
+    def _verify_and_close(self, loop_requests) -> None:
+        reqs, seen = [], set()
+        for kf_id, cand, rec in loop_requests:
+            if cand >= 0 and (kf_id, cand) not in seen:
+                seen.add((kf_id, cand))
+                reqs.append((kf_id, cand, rec))
+        reqs = reqs[: self.MAX_VERIFY]
+        if not reqs:
+            return
+        n = len(reqs)
+        # Pad to the static batch size by repeating the first request
+        # (duplicates are masked out on the host side).
+        pad = reqs + [reqs[0]] * (self.MAX_VERIFY - n)
+        kf_ids = jnp.asarray([r[0] for r in pad], jnp.int32)
+        cands = jnp.asarray([r[1] for r in pad], jnp.int32)
+        self.key, k = jax.random.split(self.key)
+        ok, t_rel, n_inl, midx, mok = verify_loops_batch(
+            self.cfg, self.map, kf_ids, cands,
+            jax.random.split(k, self.MAX_VERIFY),
+        )
+        # One small readback decides; the heavy per-candidate outputs stay
+        # on device and only the chosen row is used.
+        ok_h, inl_h = np.asarray(ok), np.asarray(n_inl)
+        for i, (kf_id, cand, rec) in enumerate(reqs):
+            rec["loop_inliers"] = int(inl_h[i])
+        for i, (kf_id, cand, rec) in enumerate(reqs):
+            if bool(ok_h[i]):
+                self._close_loop(kf_id, cand, t_rel[i], midx[i], mok[i], rec)
                 break
 
     # ------------------------------------------------------------------
@@ -381,23 +435,6 @@ class SlamSystem:
         return self.poses_twc[-1]
 
     # ------------------------------------------------------------------
-    def _try_close_loop(self, kf_id: int, cand: int, rec=None) -> bool:
-        """Geometric verification + loop correction (reference §3.4).
-        Returns True iff a correction was applied."""
-        if cand < 0:
-            return False
-        if rec is None:
-            rec = self.metrics[-1]
-        self.key, k = jax.random.split(self.key)
-        ok, t_rel, n_inl, midx, mok = verify_loop(
-            self.cfg, self.map, jnp.asarray(kf_id), jnp.asarray(cand), k
-        )
-        rec["loop_inliers"] = int(n_inl)
-        if not bool(ok):
-            return False
-        self._close_loop(kf_id, cand, t_rel, midx, mok, rec)
-        return True
-
     def _close_loop(self, kf_id: int, cand: int, t_rel, midx, mok,
                     rec=None) -> None:
         """Correct the loop (reference correct_loop, §3.4): point fusion +
@@ -479,7 +516,10 @@ class SlamSystem:
         current pose of its reference keyframe (reference trajectory-dump
         policy): loop-closure / global-BA corrections applied after a frame
         passed still correct that frame's recorded pose.  Frames whose
-        reference slot was culled-and-reused keep their raw recorded pose."""
+        reference keyframe was CULLED chase the cull chain (victim ->
+        spanning parent -> ... -> live keyframe), composing the relative
+        poses recorded at cull time — the reference's erased-keyframe Tcp
+        mechanism; only an unresolvable chain falls back to the raw pose."""
         self.flush()
         ts = np.asarray(self.timestamps)
         raw = np.stack(self.poses_twc)
@@ -488,9 +528,40 @@ class SlamSystem:
         kf_pose = np.asarray(self.map.kf_pose)
         kf_valid = np.asarray(self.map.kf_valid)
         kf_seq = np.asarray(self.map.kf_seq)
+
+        def live(slot, seq):
+            return kf_valid[slot] and kf_seq[slot] == seq
+
         refs = np.array([r[0] for r in self.frame_refs])
         seqs = np.array([r[1] for r in self.frame_refs])
         rels = np.stack([r[2] for r in self.frame_refs])
+        # Chase culled references up the chain (host side, cached per
+        # (slot, seq): chains are shared by all frames anchored to the
+        # same victim).
+        resolved: dict = {}
+        for i in range(len(refs)):
+            key = (int(refs[i]), int(seqs[i]))
+            if live(*key):
+                continue
+            if key not in resolved:
+                slot, seq = key
+                acc = se3.pose_identity()
+                hops = 0
+                while (slot, seq) in self.cull_chain and hops < 64:
+                    pslot, pseq, t_vp = self.cull_chain[(slot, seq)]
+                    acc = np.asarray(
+                        se3.pose_compose(jnp.asarray(acc), jnp.asarray(t_vp))
+                    )
+                    slot, seq = pslot, pseq
+                    hops += 1
+                resolved[key] = (slot, seq, acc) if live(slot, seq) else None
+            hit = resolved[key]
+            if hit is not None:
+                slot, seq, acc = hit
+                refs[i], seqs[i] = slot, seq
+                rels[i] = np.asarray(se3.pose_compose(
+                    jnp.asarray(rels[i]), jnp.asarray(acc)
+                ))
         usable = kf_valid[refs] & (kf_seq[refs] == seqs)
         T_cw = se3.pose_compose(jnp.asarray(rels), jnp.asarray(kf_pose[refs]))
         anchored = np.asarray(se3.pose_inv(T_cw))

@@ -44,6 +44,14 @@ def save(path: str, slam) -> None:
             if slam.frame_refs else np.zeros((0, 7), np.float32)
         ),
     }
+    if slam.cull_chain:
+        # Cull chain rows: victim_slot victim_seq parent_slot parent_seq
+        # + T_victim_parent (the erased-keyframe anchor records).  Omitted
+        # when empty: orbax refuses zero-size arrays.
+        state["cull_chain"] = np.stack([
+            np.concatenate([np.asarray([vs, vq, ps, pq], np.float32), rel])
+            for (vs, vq), (ps, pq, rel) in slam.cull_chain.items()
+        ])
     ckptr.save(path, state, force=True)
 
 
@@ -94,3 +102,8 @@ def restore(path: str, slam) -> None:
                 np.asarray(state["frame_ref_rel"]),
             )
         ]
+    if "cull_chain" in state:
+        slam.cull_chain = {
+            (int(row[0]), int(row[1])): (int(row[2]), int(row[3]), row[4:11])
+            for row in np.asarray(state["cull_chain"], np.float32)
+        }

@@ -213,9 +213,13 @@ def test_cull_keyframe_rehomes_spanning_and_loop_edges():
     st = add_loop_edge(st, jnp.asarray(4), jnp.asarray(1), se3.pose_identity())
     assert int(st.n_loop_edges) == 1
 
-    st2 = map_ops.cull_one_keyframe(CFG, st)
+    st2, cull_info = map_ops.cull_one_keyframe(CFG, st)
     victim = int(np.flatnonzero(np.asarray(st.kf_valid) & ~np.asarray(st2.kf_valid))[0])
     assert victim == 1  # first eligible (root + latest protected)
+    # Cull record: victim identity + pose relative to its parent (KF0).
+    ci = np.asarray(cull_info)
+    assert int(ci[0]) == victim and int(ci[2]) == 0
+    assert np.allclose(ci[4:11], np.asarray(se3.pose_identity()), atol=1e-6)
     # Children re-homed to the victim's parent (KF0); victim's entry cleared.
     sp = np.asarray(st2.spanning_parent)
     assert sp[2] == 0 and sp[3] == 0

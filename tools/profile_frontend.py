@@ -95,6 +95,8 @@ def main():
     if on_tpu:
         cfg_p = cfg.replace(orb=OrbConfig(frontend_impl="pallas"))
         timed("extract_features impl=pallas", lambda g, d: fe.extract_features(g, d, cfg_p), gray, depth)
+        cfg_a = cfg.replace(orb=OrbConfig(frontend_impl="auto"))
+        timed("extract_features impl=auto", lambda g, d: fe.extract_features(g, d, cfg_a), gray, depth)
 
     level_imgs = []
     level = gray
