@@ -156,6 +156,8 @@ class BatchedSlamSystem:
         self.poses_twc: List[List[np.ndarray]] = [[] for _ in range(n_seq)]
         self.frame_refs: List[List[tuple]] = [[] for _ in range(n_seq)]
         self.n_loops_closed = [0] * n_seq
+        # Per-sequence cull chains (see SlamSystem.cull_chain).
+        self.cull_chain = [dict() for _ in range(n_seq)]
         self._vocab_trained_at = [-1] * n_seq
         self._pending_rows: List[jnp.ndarray] = []
         self._pending_ts: List[List[float]] = []
@@ -235,6 +237,11 @@ class BatchedSlamSystem:
                     (int(r[O_REF]), int(r[O_REFSEQ]),
                      r[O_REL0:O_REL0 + 7].copy())
                 )
+                if r[O_CULL0] >= 0:
+                    self.cull_chain[s][
+                        (int(r[O_CULL0]), int(r[O_CULL0 + 1]))
+                    ] = (int(r[O_CULL0 + 2]), int(r[O_CULL0 + 3]),
+                         r[O_CULL0 + 4:O_CULL0 + 11].copy())
                 rec = {
                     "ts": ts[s],
                     "status": int(r[O_STATUS]),
@@ -307,7 +314,9 @@ class BatchedSlamSystem:
 
     # ------------------------------------------------------------------
     def trajectory(self, s: int):
-        """Anchored trajectory of sequence ``s`` (see SlamSystem.trajectory)."""
+        """Anchored trajectory of sequence ``s`` (see SlamSystem.trajectory);
+        culled reference keyframes resolve through the per-sequence cull
+        chain exactly like the single engine."""
         self.flush()
         ts = np.asarray(self.timestamps[s])
         raw = np.stack(self.poses_twc[s])
@@ -317,6 +326,33 @@ class BatchedSlamSystem:
         refs = np.array([r[0] for r in self.frame_refs[s]])
         seqs = np.array([r[1] for r in self.frame_refs[s]])
         rels = np.stack([r[2] for r in self.frame_refs[s]])
+
+        def live(slot, sq):
+            return kf_valid[slot] and kf_seq[slot] == sq
+
+        chain = self.cull_chain[s]
+        resolved: dict = {}
+        for i in range(len(refs)):
+            key = (int(refs[i]), int(seqs[i]))
+            if live(*key):
+                continue
+            if key not in resolved:
+                slot, sq = key
+                acc = se3.pose_identity()
+                hops = 0
+                while (slot, sq) in chain and hops < 64:
+                    pslot, psq, t_vp = chain[(slot, sq)]
+                    acc = np.asarray(se3.pose_compose(
+                        jnp.asarray(acc), jnp.asarray(t_vp)))
+                    slot, sq = pslot, psq
+                    hops += 1
+                resolved[key] = (slot, sq, acc) if live(slot, sq) else None
+            hit = resolved[key]
+            if hit is not None:
+                slot, sq, acc = hit
+                refs[i], seqs[i] = slot, sq
+                rels[i] = np.asarray(se3.pose_compose(
+                    jnp.asarray(rels[i]), jnp.asarray(acc)))
         usable = kf_valid[refs] & (kf_seq[refs] == seqs)
         T_cw = se3.pose_compose(jnp.asarray(rels), jnp.asarray(kf_pose[refs]))
         anchored = np.asarray(se3.pose_inv(T_cw))

@@ -67,6 +67,59 @@ def _cost_analysis(lowerable, *args):
         return None
 
 
+def fused_step_device_ms(slam, gray_u8: np.ndarray, d16: np.ndarray,
+                         scan_len: int = 32) -> float:
+    """Device-path ms/frame of the FULL fused frame step, measured as a
+    ``lax.scan`` chain with the engine state threaded through the carry.
+
+    This is the engine's compute ceiling: what a deployment with a local
+    (non-tunneled) chip pays per frame, excluding host wire/dispatch.
+    Remote-tunnel honesty rules apply (see tools/profile_frontend.timed):
+    value-read sync, salted input, and the reported number is the
+    DIFFERENCE between scan lengths N and 2N so constant overhead cancels.
+    """
+    from boslam_tpu.slam import frame_step_core
+
+    cfg = slam.cfg
+    img = jnp.asarray(gray_u8)
+    d16 = jnp.asarray(d16)
+
+    def make(length):
+        def chained(ms0, ls0, tr0, key0, salt):
+            def body(carry, _):
+                ms, ls, tr, key = carry
+                ms, ls, tr, key, row = frame_step_core(
+                    cfg, ms, ls, tr, key, img, d16)
+                return (ms, ls, tr, key), row[8]
+
+            _, outs = jax.lax.scan(
+                body,
+                (ms0, ls0,
+                 tr0._replace(pose_cw=tr0.pose_cw + salt * 1e-30), key0),
+                None, length=length)
+            return jnp.sum(outs)
+
+        return jax.jit(chained, donate_argnums=(0, 1, 2, 3))
+
+    def run(jc, salt):
+        ms = jax.tree.map(jnp.copy, slam.map)
+        ls = jax.tree.map(jnp.copy, slam.loop)
+        tr = jax.tree.map(jnp.copy, slam.track)
+        return float(jc(ms, ls, tr, jnp.copy(slam.key), salt))
+
+    walls = {}
+    for length in (scan_len, 2 * scan_len):
+        jc = make(length)
+        run(jc, np.float32(0))  # compile + settle
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            run(jc, np.float32(length * 131 + i + 1))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        walls[length] = float(np.median(ts))
+    return (walls[2 * scan_len] - walls[scan_len]) / scan_len
+
+
 def stage_timings(slam, gray: np.ndarray, depth: np.ndarray,
                   repeats: int = 10) -> Dict[str, float]:
     """Median ms per pipeline stage using ``slam``'s live map/track state,
