@@ -21,6 +21,10 @@ def test_checkpoint_roundtrip(tmp_path):
     slam = SlamSystem(CFG)
     for ts, rgb, depth in frames:
         slam.process_frame(ts, rgb, depth)
+    # A synthetic cull-chain record exercises the non-empty save path
+    # (orbax refuses zero-size arrays, so empty chains are omitted).
+    slam.cull_chain[(3, 3)] = (0, 0, np.asarray(
+        [1.0, 0, 0, 0, 0.1, 0.2, 0.3], np.float32))
 
     path = str(tmp_path / "ckpt")
     ckpt.save(path, slam)
@@ -29,6 +33,11 @@ def test_checkpoint_roundtrip(tmp_path):
     ckpt.restore(path, slam2)
     assert slam2.n_keyframes == slam.n_keyframes
     assert slam2.n_points == slam.n_points
+    assert (3, 3) in slam2.cull_chain
+    np.testing.assert_allclose(
+        slam2.cull_chain[(3, 3)][2], slam.cull_chain[(3, 3)][2], atol=1e-7
+    )
+    assert slam2.cull_chain[(3, 3)][:2] == (0, 0)
     np.testing.assert_array_equal(
         np.asarray(slam2.map.kf_pose), np.asarray(slam.map.kf_pose)
     )
