@@ -31,12 +31,13 @@ class CameraConfig:
     # Valid depth range in metres.
     depth_min: float = 0.1
     depth_max: float = 8.0
-    # Host->device depth wire subsampling stride.  Depth is only ever
-    # sampled at keypoint locations (<= n_features values per frame), but
-    # the H2D link is byte-serialized with compute, so shipping the full
-    # 614 KB u16 map costs ~4 ms/frame over a remote-device tunnel.
-    # stride=2 ships 1/4 of the bytes; lookups use the nearest retained
-    # sample (<= stride-1 px off, comparable to RGBD sensor depth noise).
+    # Host->device depth wire stride.  Depth is only ever sampled at
+    # keypoint locations (<= n_features values per frame), but the H2D link
+    # is byte-serialized with compute, so shipping the full 614 KB u16 map
+    # costs ~4 ms/frame over a remote-device tunnel.  stride=s ships 1/s^2
+    # of the bytes: one sample per s x s block via a boundary-aware medoid
+    # reduction (slam.depth_wire) that never mixes depths across object
+    # boundaries and averages same-surface sensor noise down ~sqrt(n).
     depth_wire_stride: int = 1
 
     @property
@@ -101,6 +102,11 @@ class TrackerConfig:
     # RANSAC PnP (init / relocalization).
     ransac_iters: int = 128        # hypotheses evaluated in parallel (vmap)
     ransac_threshold: float = 5.0  # pixel reprojection inlier bound
+    # BoW relocalization candidate set size: the reference attempts PnP on
+    # EVERY BoW candidate (SURVEY.md §3.2 relocalize), not just the top
+    # score — one aliased top score must not sink the whole frame.  All
+    # candidates are matched + solved in one vmapped dispatch.
+    reloc_candidates: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,18 +185,36 @@ class SlamConfig:
         return dataclasses.replace(self, **kw)
 
     @staticmethod
-    def from_dict(d: Mapping[str, Any]) -> "SlamConfig":
-        """Build from a nested dict (YAML/CLI loading path)."""
+    def from_dict(
+        d: Mapping[str, Any], base: "SlamConfig | None" = None
+    ) -> "SlamConfig":
+        """Build from a nested dict (YAML/CLI loading path, SURVEY.md §5.6).
+
+        Keys present in ``d`` override the corresponding field of ``base``
+        (default ``SlamConfig()``); unknown section or field names raise
+        (a typo must not silently produce a default-config run).
+        """
+        base = SlamConfig() if base is None else base
+        sections = (
+            "camera", "orb", "matcher", "tracker", "map", "local_ba", "loop",
+        )
+        unknown = set(d) - set(sections)
+        if unknown:
+            raise ValueError(f"unknown config sections: {sorted(unknown)}")
         kw = {}
-        sub = {
-            "camera": CameraConfig, "orb": OrbConfig, "matcher": MatcherConfig,
-            "tracker": TrackerConfig, "map": MapConfig,
-            "local_ba": LocalBaConfig, "loop": LoopConfig,
-        }
-        for key, cls in sub.items():
+        for key in sections:
             if key in d:
-                kw[key] = cls(**dict(d[key]))
-        return SlamConfig(**kw)
+                kw[key] = dataclasses.replace(getattr(base, key), **dict(d[key]))
+        return dataclasses.replace(base, **kw)
+
+    @staticmethod
+    def from_yaml(path: str, base: "SlamConfig | None" = None) -> "SlamConfig":
+        """Load a nested-section YAML file over ``base`` (CLI ``--config``)."""
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        return SlamConfig.from_dict(d, base=base)
 
 
 # TUM camera presets (intrinsics from the TUM RGBD benchmark docs).

@@ -406,12 +406,24 @@ def extract_features(gray, depth, cfg: SlamConfig) -> FrameFeatures:
 
     uv = jnp.concatenate(uv_all)
     valid = jnp.concatenate(val_all)
-    # Depth lookup at level-0 coords (nearest retained sample; the depth
-    # map may arrive subsampled by cam.depth_wire_stride, see config).
+    # Depth lookup at level-0 coords.  The depth map may arrive block-
+    # reduced by cam.depth_wire_stride (slam.depth_wire): wire sample
+    # [i, j] summarizes pixel block [i*s:(i+1)*s, j*s:(j+1)*s], so the
+    # lookup maps a pixel to its OWN block, floor((u+0.5)/s) — not to the
+    # nearest strided sample, which reads across block (and possibly
+    # object) boundaries.
     s = cam.depth_wire_stride
     hs, ws = cam.depth_wire_shape
-    ui = jnp.clip(jnp.round(uv[:, 0] / s).astype(jnp.int32), 0, ws - 1)
-    vi = jnp.clip(jnp.round(uv[:, 1] / s).astype(jnp.int32), 0, hs - 1)
+    if s == 1:
+        ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, ws - 1)
+        vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, hs - 1)
+    else:
+        ui = jnp.clip(
+            jnp.floor((uv[:, 0] + 0.5) / s).astype(jnp.int32), 0, ws - 1
+        )
+        vi = jnp.clip(
+            jnp.floor((uv[:, 1] + 0.5) / s).astype(jnp.int32), 0, hs - 1
+        )
     z = depth[vi, ui]
     has_depth = valid & cam_mod.valid_depth(cam, z)
     z = jnp.where(has_depth, z, 0.0)

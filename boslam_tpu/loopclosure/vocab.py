@@ -31,7 +31,12 @@ N_STREAKS = 4
 class LoopState(NamedTuple):
     vocab: jnp.ndarray        # [V, 8] u32 word descriptors
     vocab_ready: jnp.ndarray  # scalar bool
-    kf_bow: jnp.ndarray       # [K, V] f32 L2-normalized tf vectors
+    kf_bow: jnp.ndarray       # [K, V] f32 L2-normalized tf-idf vectors
+    # Per-word inverse document frequency, computed at vocabulary
+    # (re)train time (reference: DBoW3 TF_IDF weighting).  Without it,
+    # high-frequency words — floor/wall texture — dilute similarity scores
+    # and alias unrelated keyframes (the r3 streak/inlier-gate fight).
+    idf: jnp.ndarray          # [V] f32 (ones before training)
     # Temporal-consistency tracker (reference: >= 3 consecutive hits over
     # overlapping covisibility groups, N_STREAKS tracked in parallel).
     streak_kf: jnp.ndarray    # [N_STREAKS] i32 candidate group anchors (-1)
@@ -45,6 +50,7 @@ def empty_loop_state(cfg: SlamConfig) -> LoopState:
         vocab=jnp.zeros((V, 8), jnp.uint32),
         vocab_ready=jnp.zeros((), bool),
         kf_bow=jnp.zeros((K, V)),
+        idf=jnp.ones((V,)),
         streak_kf=jnp.full((N_STREAKS,), -1, jnp.int32),
         streak_len=jnp.zeros((N_STREAKS,), jnp.int32),
     )
@@ -88,24 +94,40 @@ def train_vocab(cfg: SlamConfig, loop: LoopState, map_state, iters: int = 3) -> 
     words, _ = jax.lax.scan(lloyd, words, None, length=iters)
 
     loop = loop._replace(vocab=words, vocab_ready=jnp.ones((), bool))
-    # Refresh all keyframe BoW rows under the new vocabulary.
-    def bow_of(k):
-        return _bow_vector(cfg, loop.vocab, map_state.kf_desc[k],
-                           map_state.kf_kp_valid[k] & map_state.kf_valid[k])
+    # Per-word idf over the current keyframe set: ln((1 + K) / (1 + df))
+    # with df = number of keyframes containing the word (smoothed so words
+    # seen everywhere score ~0 and never divide by zero).  One [K, V]
+    # presence reduction at train time; scoring stays a plain matmul.
+    def tf_of(k):
+        return _tf_histogram(cfg, loop.vocab, map_state.kf_desc[k],
+                             map_state.kf_kp_valid[k] & map_state.kf_valid[k])
 
-    kf_bow = jax.vmap(bow_of)(jnp.arange(K))
+    tf_all = jax.vmap(tf_of)(jnp.arange(K))                     # [K, V]
+    n_kf = jnp.maximum(jnp.sum(map_state.kf_valid), 1)
+    df = jnp.sum((tf_all > 0) & map_state.kf_valid[:, None], axis=0)
+    idf = jnp.log((1.0 + n_kf) / (1.0 + df.astype(jnp.float32)))
+    loop = loop._replace(idf=idf)
+    # Refresh all keyframe BoW rows under the new vocabulary + idf.
+    kf_bow = jax.vmap(lambda tf: _normalize(tf * idf))(tf_all)
     return loop._replace(kf_bow=kf_bow)
 
 
-def _bow_vector(cfg: SlamConfig, vocab, desc, valid):
+def _tf_histogram(cfg: SlamConfig, vocab, desc, valid):
     V = cfg.loop.vocab_size
     d = hamming.hamming_matrix_mxu(desc, vocab)   # [N, V]
     assign = jnp.argmin(d, axis=1)
     seg = jnp.where(valid, assign, V)
-    tf = jax.ops.segment_sum(
+    return jax.ops.segment_sum(
         jnp.ones_like(seg, jnp.float32), seg, num_segments=V + 1
     )[:V]
-    return tf / jnp.maximum(jnp.linalg.norm(tf), 1e-9)
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+
+
+def _bow_vector(cfg: SlamConfig, vocab, idf, desc, valid):
+    return _normalize(_tf_histogram(cfg, vocab, desc, valid) * idf)
 
 
 def word_ids(vocab, desc, valid):
@@ -115,16 +137,21 @@ def word_ids(vocab, desc, valid):
     return jnp.where(valid, w, -1)
 
 
-def bow_vector(cfg: SlamConfig, vocab, desc, valid):
-    """Public L2-normalized BoW tf vector of a descriptor set."""
-    return _bow_vector(cfg, vocab, desc, valid)
+def bow_vector(cfg: SlamConfig, vocab, desc, valid, idf=None):
+    """Public L2-normalized BoW tf-idf vector of a descriptor set.
+
+    ``idf=None`` falls back to uniform weights (pre-training callers)."""
+    if idf is None:
+        idf = jnp.ones((cfg.loop.vocab_size,))
+    return _bow_vector(cfg, vocab, idf, desc, valid)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def compute_bow(cfg: SlamConfig, loop: LoopState, map_state, kf_id) -> LoopState:
     """Compute + store the BoW vector of one keyframe (on insertion)."""
     bow = _bow_vector(
-        cfg, loop.vocab, map_state.kf_desc[kf_id], map_state.kf_kp_valid[kf_id]
+        cfg, loop.vocab, loop.idf,
+        map_state.kf_desc[kf_id], map_state.kf_kp_valid[kf_id],
     )
     bow = jnp.where(loop.vocab_ready, bow, 0.0)
     return loop._replace(kf_bow=loop.kf_bow.at[kf_id].set(bow))

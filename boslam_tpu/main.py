@@ -24,6 +24,9 @@ def main() -> None:
                     help="run N synthetic frames instead of a dataset")
     ap.add_argument("--camera", choices=["fr1", "fr2", "fr3", "icl"],
                     default="fr1")
+    ap.add_argument("--config", type=str, default=None,
+                    help="YAML config file; sections override the --camera "
+                         "preset (see SlamConfig.from_yaml)")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--out", type=str, default="trajectory.txt")
     ap.add_argument("--metrics", type=str, default=None)
@@ -71,6 +74,8 @@ def main() -> None:
     cam = {"fr1": TUM_FR1, "fr2": TUM_FR2, "fr3": TUM_FR3,
            "icl": ICL_NUIM}[args.camera]
     cfg = SlamConfig(camera=cam)
+    if args.config:
+        cfg = SlamConfig.from_yaml(args.config, base=cfg)
     if args.global_ba:
         import dataclasses
 

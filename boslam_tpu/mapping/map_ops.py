@@ -76,7 +76,19 @@ def insert_keyframe(
     ok_create = create & (new_id < P)
     new_id = jnp.where(ok_create, new_id, P)  # P = drop sentinel
 
-    xyz_w = se3.pose_apply(se3.pose_inv(pose_cw)[None], feats.xyz)
+    t_wc = se3.pose_inv(pose_cw)
+    cam_w = t_wc[4:7]
+    xyz_w = se3.pose_apply(t_wc[None], feats.xyz)
+    # Viewing model (reference MapPoint normal + view-distance band): unit
+    # direction point -> camera, and the scale band predicted from the
+    # creating keypoint's octave (seen at distance d at pyramid level o
+    # => recognizable between d*s^o / s^(L-1) and d*s^o).
+    dvec = cam_w[None, :] - xyz_w
+    dist = jnp.linalg.norm(dvec, axis=-1)
+    vdir = dvec / jnp.maximum(dist, 1e-9)[:, None]
+    sf = cfg.orb.scale_factor
+    dmax = dist * sf ** feats.octave.astype(jnp.float32)
+    dmin = dmax / sf ** (cfg.orb.n_levels - 1)
     st = state._replace(
         pt_xyz=state.pt_xyz.at[new_id].set(xyz_w, mode="drop"),
         pt_desc=state.pt_desc.at[new_id].set(feats.desc, mode="drop"),
@@ -86,6 +98,21 @@ def insert_keyframe(
         pt_first_kf=state.pt_first_kf.at[new_id].set(state.n_kf, mode="drop"),
         pt_n_vis=state.pt_n_vis.at[new_id].set(1, mode="drop"),
         pt_n_found=state.pt_n_found.at[new_id].set(1, mode="drop"),
+        pt_dir_sum=state.pt_dir_sum.at[new_id].set(vdir, mode="drop"),
+        pt_dmin=state.pt_dmin.at[new_id].set(dmin, mode="drop"),
+        pt_dmax=state.pt_dmax.at[new_id].set(dmax, mode="drop"),
+    )
+    # Re-observed points accumulate this keyframe's viewing direction into
+    # their mean-direction sum (reference UpdateNormalAndDepth on
+    # AddObservation); exact window-wide refresh happens at fuse time
+    # (refresh_point_model).
+    reobs = jnp.where(match_ok & feats.valid & (obs >= 0), obs, P)
+    dvec_o = cam_w[None, :] - st.pt_xyz[jnp.clip(reobs, 0, P - 1)]
+    vdir_o = dvec_o / jnp.maximum(
+        jnp.linalg.norm(dvec_o, axis=-1), 1e-9
+    )[:, None]
+    st = st._replace(
+        pt_dir_sum=st.pt_dir_sum.at[reobs].add(vdir_o, mode="drop")
     )
 
     obs = jnp.where(ok_create, new_id, obs).astype(jnp.int32)
@@ -330,3 +357,72 @@ def _top_neighbors(cfg: SlamConfig, state: MapState, kf_id, k: int):
     row = row.at[kf_id].set(0)
     w, ids = jax.lax.top_k(row, k)
     return ids, w, w >= cfg.map.covis_min_weight
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def refresh_point_model(
+    cfg: SlamConfig, state: MapState, slot, n_neighbors: int = 8
+) -> MapState:
+    """Refresh the viewing model of every point observed in keyframe
+    ``slot``'s covisibility window (reference MapPoint
+    ComputeDistinctiveDescriptors + UpdateNormalAndDepth, SURVEY.md §2.1
+    Map row: representative descriptor = min mean Hamming to the point's
+    observations; normal = mean viewing direction; min/max view distance
+    from the observing octave).
+
+    TPU-first: instead of per-point observation lists, flatten the window's
+    [W, N] observation table, compute ONE [M, M] MXU Hamming matrix over
+    all window descriptors, mask it by same-point, and pick each point's
+    medoid with segment reductions — no gather chasing, fixed shapes.
+    """
+    K, N = state.kf_obs_pt.shape
+    P = cfg.map.max_points
+    nbr_ids, _, nbr_ok = _top_neighbors(cfg, state, slot, n_neighbors)
+    win = jnp.concatenate([slot[None], nbr_ids])              # [W]
+    win_ok = jnp.concatenate([jnp.ones(1, bool), nbr_ok]) & state.kf_valid[win]
+    obs = state.kf_obs_pt[win]                                # [W, N]
+    valid = win_ok[:, None] & (obs >= 0) & state.kf_kp_valid[win]
+    pid = jnp.where(valid, obs, P).reshape(-1)                # [M], P = dump
+    desc = state.kf_desc[win].reshape(-1, 8)
+    M = pid.shape[0]
+
+    # Representative descriptor: medoid by mean Hamming among observations.
+    D = hamming.hamming_matrix_mxu(desc, desc).astype(jnp.float32)
+    same = (pid[:, None] == pid[None, :]) & (pid < P)[None, :]
+    cnt = jnp.sum(same, axis=1)
+    mean_d = jnp.sum(jnp.where(same, D, 0.0), axis=1) / jnp.maximum(cnt, 1)
+    score = jnp.where(pid < P, mean_d, jnp.inf)
+    best = jax.ops.segment_min(score, pid, num_segments=P + 1)[:P]
+    is_best = score <= best[jnp.clip(pid, 0, P - 1)] + 1e-3
+    rank = jnp.where(is_best & (pid < P), jnp.arange(M), M)
+    winner = jax.ops.segment_min(rank, pid, num_segments=P + 1)[:P]
+    has = winner < M
+    widx = jnp.clip(winner, 0, M - 1)
+    new_desc = jnp.where(has[:, None], desc[widx], state.pt_desc)
+    angles = state.kf_angle[win].reshape(-1)
+    new_angle = jnp.where(has, angles[widx], state.pt_angle)
+
+    # Normal: exact mean view direction over the window's observations
+    # (replaces the incremental insert-time sum for these points — also
+    # repairs staleness after loop corrections moved cameras/points).
+    cam_w = jax.vmap(se3.pose_inv)(state.kf_pose[win])[:, 4:7]  # [W, 3]
+    dvec = cam_w[:, None, :] - state.pt_xyz[jnp.clip(obs, 0, P - 1)]
+    dist = jnp.linalg.norm(dvec, axis=-1)                     # [W, N]
+    vdir = dvec / jnp.maximum(dist, 1e-9)[..., None]
+    dir_sum = jax.ops.segment_sum(
+        (vdir * valid[..., None]).reshape(-1, 3), pid, num_segments=P + 1
+    )[:P]
+    new_dir = jnp.where(has[:, None], dir_sum, state.pt_dir_sum)
+
+    # Distance band re-predicted from the medoid observation's octave.
+    sf = cfg.orb.scale_factor
+    oct_flat = state.kf_octave[win].reshape(-1)
+    dmax_w = dist.reshape(-1)[widx] * sf ** oct_flat[widx].astype(jnp.float32)
+    dmin_w = dmax_w / sf ** (cfg.orb.n_levels - 1)
+    return state._replace(
+        pt_desc=new_desc,
+        pt_angle=new_angle,
+        pt_dir_sum=new_dir,
+        pt_dmin=jnp.where(has, dmin_w, state.pt_dmin),
+        pt_dmax=jnp.where(has, dmax_w, state.pt_dmax),
+    )

@@ -42,12 +42,20 @@ class MapState(NamedTuple):
     # --- map points -----------------------------------------------------
     pt_xyz: jnp.ndarray       # [P, 3] f32 world positions
     pt_desc: jnp.ndarray      # [P, 8] u32 representative descriptor
-    pt_angle: jnp.ndarray     # [P] f32 orientation of the creating observation
+    pt_angle: jnp.ndarray     # [P] f32 orientation of the representative observation
     pt_valid: jnp.ndarray     # [P] bool
     pt_ref_kf: jnp.ndarray    # [P] i32 creating keyframe
     pt_first_kf: jnp.ndarray  # [P] i32 n_kf at creation (recency for culling)
     pt_n_vis: jnp.ndarray     # [P] i32 times predicted visible in tracking
     pt_n_found: jnp.ndarray   # [P] i32 times matched as tracking inlier
+    # Viewing model (reference MapPoint normal + min/max view distance,
+    # SURVEY.md §2.1 Map row): mean viewing direction as an UN-normalized
+    # sum of per-observation unit vectors point->camera (world frame;
+    # ||sum|| ~ 0 means "no data", gates disable), and the scale-invariance
+    # distance band predicted from the observing keypoint's octave.
+    pt_dir_sum: jnp.ndarray   # [P, 3] f32 sum of unit view directions
+    pt_dmin: jnp.ndarray      # [P] f32 min predicted view distance (0 = unset)
+    pt_dmax: jnp.ndarray      # [P] f32 max predicted view distance (0 = unset)
     # --- derived / graph ------------------------------------------------
     covis: jnp.ndarray        # [K, K] i32 co-observation counts (symmetric)
     spanning_parent: jnp.ndarray  # [K] i32 parent keyframe id (-1 for root)
@@ -81,6 +89,9 @@ def empty_map(cfg: SlamConfig) -> MapState:
         pt_first_kf=jnp.zeros(P, jnp.int32),
         pt_n_vis=jnp.zeros(P, jnp.int32),
         pt_n_found=jnp.zeros(P, jnp.int32),
+        pt_dir_sum=jnp.zeros((P, 3)),
+        pt_dmin=jnp.zeros(P),
+        pt_dmax=jnp.zeros(P),
         covis=jnp.zeros((K, K), jnp.int32),
         spanning_parent=jnp.full(K, -1, jnp.int32),
         loop_edges=jnp.zeros((MAX_LOOP_EDGES, 2), jnp.int32),

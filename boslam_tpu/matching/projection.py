@@ -38,6 +38,11 @@ def project_points(cfg: SlamConfig, pose_cw, pt_xyz, pt_valid):
     return uv, z, vis
 
 
+VIEW_COS_MIN = 0.5        # reference: reject view angle > 60 deg off normal
+VIEW_DIST_LO = 0.8        # reference: dmin * 0.8 <= dist <= dmax * 1.2
+VIEW_DIST_HI = 1.2
+
+
 def search_by_projection(
     cfg: SlamConfig,
     feats,
@@ -50,6 +55,9 @@ def search_by_projection(
     ratio: float | None = None,
     mutual: bool = True,
     pt_angle=None,
+    pt_dir_sum=None,
+    pt_dmin=None,
+    pt_dmax=None,
 ):
     """Match frame keypoints to map points under a predicted pose.
 
@@ -58,6 +66,13 @@ def search_by_projection(
       pose_cw: [7] predicted world->camera pose.
       pt_xyz: [P, 3] world positions; pt_desc: [P, 8] u32; pt_valid: [P] bool.
       radius: base search radius in pixels (scaled by keypoint octave).
+      pt_dir_sum / pt_dmin / pt_dmax: optional viewing model
+        (MapState fields): gate candidates on view-angle cosine against the
+        point's mean viewing direction, on the scale-invariance distance
+        band, and on octave compatibility with the distance-predicted
+        pyramid level (reference SearchByProjection gates, SURVEY.md §2.1
+        Map row).  Points with an unset model (zero norm / zero dmax, e.g.
+        restored from an old checkpoint) pass ungated.
 
     Returns:
       (match_idx [N] int32 point index or -1, match_mask [N] bool,
@@ -65,11 +80,44 @@ def search_by_projection(
     """
     mcfg = cfg.matcher
     uv_proj, z, vis = project_points(cfg, pose_cw, pt_xyz, pt_valid)
+    sf = cfg.orb.scale_factor
+    pair_mask = None
+    if pt_dir_sum is not None:
+        cam_w = se3.pose_inv(pose_cw)[4:7]
+        dvec = cam_w[None, :] - pt_xyz                       # [P, 3]
+        dist = jnp.linalg.norm(dvec, axis=-1)
+        nrm = jnp.linalg.norm(pt_dir_sum, axis=-1)
+        cosv = jnp.sum(dvec * pt_dir_sum, axis=-1) / jnp.maximum(
+            dist * nrm, 1e-9
+        )
+        ok_angle = (cosv >= VIEW_COS_MIN) | (nrm < 1e-6)
+        has_band = pt_dmax > 0
+        ok_dist = (
+            ~has_band
+            | (
+                (dist >= VIEW_DIST_LO * pt_dmin)
+                & (dist <= VIEW_DIST_HI * pt_dmax)
+            )
+        )
+        vis = vis & ok_angle & ok_dist
+        # Octave compatibility: the level at which the point should appear
+        # at this distance (level 0 at dmax, coarser when closer) must be
+        # within +-1 of the keypoint's detected octave.
+        pred = jnp.log(jnp.maximum(pt_dmax, 1e-9) / jnp.maximum(dist, 1e-9))
+        pred = jnp.clip(
+            jnp.ceil(pred / jnp.log(sf)), 0, cfg.orb.n_levels - 1
+        )
+        d_oct = jnp.abs(
+            feats.octave.astype(jnp.float32)[:, None] - pred[None, :]
+        )
+        pair_mask = (d_oct <= 1.0) | ~has_band[None, :]
     # Octave-scaled window around each keypoint.
-    scale = cfg.orb.scale_factor ** feats.octave.astype(jnp.float32)
+    scale = sf ** feats.octave.astype(jnp.float32)
     r = radius * scale  # [N]
     d2 = jnp.sum((feats.uv[:, None, :] - uv_proj[None, :, :]) ** 2, axis=-1)
     window = (d2 <= (r[:, None] ** 2)) & vis[None, :]
+    if pair_mask is not None:
+        window = window & pair_mask
     dist = hamming.hamming_matrix_mxu(feats.desc, pt_desc)
     idx, ok, mdist = hamming.match_top2(
         dist,

@@ -1,5 +1,5 @@
-"""Distribution layer: meshes, batched tracking, sharded BA, multi-sequence
-DP, multi-host runtime.
+"""Distribution layer: meshes, sharded BA, multi-sequence DP, multi-host
+runtime.
 
 Everything is lazy: ``jax.distributed.initialize()`` (parallel/distributed)
 must run BEFORE any jax call that initializes the XLA backend, and several
@@ -8,11 +8,11 @@ close the multi-host bootstrap window for every ``import boslam_tpu``.
 """
 
 __all__ = [
-    "make_mesh", "batch", "sharded_ba", "multi", "sharded_global_ba",
+    "make_mesh", "sharded_ba", "multi", "sharded_global_ba",
     "mesh", "distributed",
 ]
 
-_SUBMODULES = ("batch", "sharded_ba", "multi", "sharded_global_ba",
+_SUBMODULES = ("sharded_ba", "multi", "sharded_global_ba",
                "mesh", "distributed")
 
 

@@ -170,30 +170,26 @@ class BatchedSlamSystem:
         ``active`` [S] bools (default all True): inactive shards are no-ops
         on device and produce no host records — how unequal-length sequence
         batches run to each sequence's own end (run_sequences)."""
-        from boslam_tpu.slam import depth_to_u16, to_gray_u8
+        from boslam_tpu.slam import depth_wire, to_gray_u8
 
         if active is None:
             active = [True] * self.n_seq
         active = np.asarray(active, bool)
 
         imgs, d16s = [], []
-        stride = self.cfg.camera.depth_wire_stride
+        cam = self.cfg.camera
         for rgb, depth in zip(rgbs, depths):
             if rgb.ndim == 3:
                 img = to_gray_u8(rgb)
             else:
                 img = rgb.astype(np.uint8)
-            if stride > 1:
-                # Same wire subsampling as SlamSystem.feed: the frontend
-                # indexes depth at uv/stride, so full-res depth here would
-                # read the wrong quadrant.
-                depth = depth[::stride, ::stride]
-            if depth.dtype == np.uint16:
-                d16 = depth
-            else:
-                d16 = depth_to_u16(depth, self.cfg.camera.depth_factor)
+            if depth.dtype != np.uint16 or depth.shape != cam.depth_wire_shape:
+                # Same wire reduction as SlamSystem.feed: the frontend
+                # indexes depth at the wire stride, so full-res depth here
+                # would read the wrong quadrant.
+                depth = depth_wire(depth, cam)
             imgs.append(img)
-            d16s.append(d16)
+            d16s.append(depth)
         img_b = jax.device_put(np.stack(imgs), self._shard)
         d16_b = jax.device_put(np.stack(d16s), self._shard)
         act_b = jax.device_put(active, self._shard)
@@ -320,43 +316,14 @@ class BatchedSlamSystem:
         self.flush()
         ts = np.asarray(self.timestamps[s])
         raw = np.stack(self.poses_twc[s])
-        kf_pose = np.asarray(self.map.kf_pose[s])
-        kf_valid = np.asarray(self.map.kf_valid[s])
-        kf_seq = np.asarray(self.map.kf_seq[s])
-        refs = np.array([r[0] for r in self.frame_refs[s]])
-        seqs = np.array([r[1] for r in self.frame_refs[s]])
-        rels = np.stack([r[2] for r in self.frame_refs[s]])
+        from boslam_tpu.utils.trajectory import anchor_trajectory
 
-        def live(slot, sq):
-            return kf_valid[slot] and kf_seq[slot] == sq
-
-        chain = self.cull_chain[s]
-        resolved: dict = {}
-        for i in range(len(refs)):
-            key = (int(refs[i]), int(seqs[i]))
-            if live(*key):
-                continue
-            if key not in resolved:
-                slot, sq = key
-                acc = se3.pose_identity()
-                hops = 0
-                while (slot, sq) in chain and hops < 64:
-                    pslot, psq, t_vp = chain[(slot, sq)]
-                    acc = np.asarray(se3.pose_compose(
-                        jnp.asarray(acc), jnp.asarray(t_vp)))
-                    slot, sq = pslot, psq
-                    hops += 1
-                resolved[key] = (slot, sq, acc) if live(slot, sq) else None
-            hit = resolved[key]
-            if hit is not None:
-                slot, sq, acc = hit
-                refs[i], seqs[i] = slot, sq
-                rels[i] = np.asarray(se3.pose_compose(
-                    jnp.asarray(rels[i]), jnp.asarray(acc)))
-        usable = kf_valid[refs] & (kf_seq[refs] == seqs)
-        T_cw = se3.pose_compose(jnp.asarray(rels), jnp.asarray(kf_pose[refs]))
-        anchored = np.asarray(se3.pose_inv(T_cw))
-        return ts, np.where(usable[:, None], anchored, raw)
+        out = anchor_trajectory(
+            raw, self.frame_refs[s], self.cull_chain[s],
+            np.asarray(self.map.kf_pose[s]), np.asarray(self.map.kf_valid[s]),
+            np.asarray(self.map.kf_seq[s]),
+        )
+        return ts, out
 
     def n_keyframes(self, s: int) -> int:
         return int(jnp.sum(self.map.kf_valid[s]))

@@ -52,7 +52,9 @@ def to_gray_u8(rgb: np.ndarray) -> np.ndarray:
     """Host-side u8 RGB -> u8 BT.601 gray (the engine wire format)."""
     if _cv2 is not None:
         return _cv2.cvtColor(rgb, _cv2.COLOR_RGB2GRAY)
-    return (rgb.astype(np.float32) @ _BT601).astype(np.uint8)
+    # np.rint matches cv2's round-half-to-even: without it the two paths
+    # differ by 1 LSB and engine input depends on whether cv2 is installed.
+    return np.rint(rgb.astype(np.float32) @ _BT601).astype(np.uint8)
 
 
 def depth_to_u16(depth: np.ndarray, depth_factor: float) -> np.ndarray:
@@ -60,6 +62,41 @@ def depth_to_u16(depth: np.ndarray, depth_factor: float) -> np.ndarray:
     buf = depth * np.float32(depth_factor)
     np.clip(buf, 0, 65535, out=buf)
     return buf.astype(np.uint16)
+
+
+def depth_wire(depth: np.ndarray, cam) -> np.ndarray:
+    """Host-side depth (f32 metres or u16 counts) -> wire-format u16 of
+    shape ``cam.depth_wire_shape``.
+
+    stride 1 is plain quantization.  stride s > 1 ships one sample per s x s
+    block with a BOUNDARY-AWARE reduction instead of ``depth[::s, ::s]``:
+    the medoid of the block's valid samples picks one surface, then samples
+    within 5% of it (same surface, sensor-noise apart) are averaged.  A
+    plain strided subsample reads up to s-1 px away from the keypoint and
+    picks the far side of object boundaries — foreground/background depth
+    mixing that cost ~0.1 m ATE on the r3 hall bench (VERDICT r3 item 2);
+    the medoid never mixes surfaces, and same-surface blocks average noise
+    down by ~sqrt(n).
+    """
+    if depth.dtype != np.uint16:
+        depth = depth_to_u16(depth, cam.depth_factor)
+    s = cam.depth_wire_stride
+    if s == 1:
+        return depth
+    hs, ws = cam.depth_wire_shape
+    H, W = depth.shape
+    buf = np.zeros((hs * s, ws * s), np.float32)
+    buf[:H, :W] = depth
+    b = buf.reshape(hs, s, ws, s).transpose(0, 2, 1, 3).reshape(hs, ws, s * s)
+    valid = b > 0
+    c = valid.sum(-1)
+    sv = np.sort(np.where(valid, b, np.inf), axis=-1)
+    med = np.take_along_axis(
+        sv, (np.maximum(c - 1, 0) // 2)[..., None], axis=-1
+    )[..., 0]
+    keep = valid & (np.abs(b - med[..., None]) <= 0.05 * med[..., None])
+    out = (b * keep).sum(-1) / np.maximum(keep.sum(-1), 1)
+    return np.rint(np.where(c > 0, out, 0.0)).astype(np.uint16)
 
 # Packed per-frame output row (f32[OUT_DIM]) — the ONLY device->host data.
 O_POSE0 = 0          # [0:7] pose T_wc (w x y z tx ty tz)
@@ -169,6 +206,7 @@ def frame_step_core(cfg: SlamConfig, map_state,
                 tr.frame_idx,
             )
             st = map_ops.fuse_new_keyframe(cfg, st, kf_id)
+            st = map_ops.refresh_point_model(cfg, st, kf_id)
             st = map_ops.cull_points(cfg, st, update_covis=False)
             st, ba = local_bundle_adjustment(cfg, st, kf_id)
             st, cull_info = map_ops.cull_one_keyframe(cfg, st)
@@ -293,15 +331,13 @@ class SlamSystem:
                 rgb if rgb.dtype == np.uint8 else
                 np.clip(rgb, 0, 255).astype(np.uint8)
             )
-        s = self.cfg.camera.depth_wire_stride
-        if s > 1:
-            depth = depth[::s, ::s]
-        if depth.dtype == np.uint16:
-            d16 = jnp.asarray(np.ascontiguousarray(depth))
-        else:
-            d16 = jnp.asarray(
-                depth_to_u16(depth, self.cfg.camera.depth_factor)
-            )
+        cam = self.cfg.camera
+        if depth.dtype != np.uint16 or depth.shape != cam.depth_wire_shape:
+            # Full-res input: quantize + boundary-aware block reduction.
+            # Already-wire-format u16 (e.g. bench-prepared frames) ships
+            # as-is, keeping dataset prep out of the measured loop.
+            depth = depth_wire(depth, cam)
+        d16 = jnp.asarray(np.ascontiguousarray(depth))
         self.map, self.loop, self.track, self.key, row = _fused_frame_step(
             self.cfg, self.map, self.loop, self.track, self.key, img, d16,
         )
@@ -525,47 +561,13 @@ class SlamSystem:
         raw = np.stack(self.poses_twc)
         if len(self.frame_refs) != len(self.poses_twc):
             return ts, raw  # e.g. resumed from a pre-anchoring checkpoint
-        kf_pose = np.asarray(self.map.kf_pose)
-        kf_valid = np.asarray(self.map.kf_valid)
-        kf_seq = np.asarray(self.map.kf_seq)
+        from boslam_tpu.utils.trajectory import anchor_trajectory
 
-        def live(slot, seq):
-            return kf_valid[slot] and kf_seq[slot] == seq
-
-        refs = np.array([r[0] for r in self.frame_refs])
-        seqs = np.array([r[1] for r in self.frame_refs])
-        rels = np.stack([r[2] for r in self.frame_refs])
-        # Chase culled references up the chain (host side, cached per
-        # (slot, seq): chains are shared by all frames anchored to the
-        # same victim).
-        resolved: dict = {}
-        for i in range(len(refs)):
-            key = (int(refs[i]), int(seqs[i]))
-            if live(*key):
-                continue
-            if key not in resolved:
-                slot, seq = key
-                acc = se3.pose_identity()
-                hops = 0
-                while (slot, seq) in self.cull_chain and hops < 64:
-                    pslot, pseq, t_vp = self.cull_chain[(slot, seq)]
-                    acc = np.asarray(
-                        se3.pose_compose(jnp.asarray(acc), jnp.asarray(t_vp))
-                    )
-                    slot, seq = pslot, pseq
-                    hops += 1
-                resolved[key] = (slot, seq, acc) if live(slot, seq) else None
-            hit = resolved[key]
-            if hit is not None:
-                slot, seq, acc = hit
-                refs[i], seqs[i] = slot, seq
-                rels[i] = np.asarray(se3.pose_compose(
-                    jnp.asarray(rels[i]), jnp.asarray(acc)
-                ))
-        usable = kf_valid[refs] & (kf_seq[refs] == seqs)
-        T_cw = se3.pose_compose(jnp.asarray(rels), jnp.asarray(kf_pose[refs]))
-        anchored = np.asarray(se3.pose_inv(T_cw))
-        out = np.where(usable[:, None], anchored, raw)
+        out = anchor_trajectory(
+            raw, self.frame_refs, self.cull_chain,
+            np.asarray(self.map.kf_pose), np.asarray(self.map.kf_valid),
+            np.asarray(self.map.kf_seq),
+        )
         return ts, out
 
     @property

@@ -92,6 +92,9 @@ def _match_and_optimize(cfg, feats, pose_pred, map_state, pt_mask,
         cfg, feats, pose_pred, map_state.pt_xyz, map_state.pt_desc,
         pt_mask, radius=radius, max_dist=max_dist, ratio=ratio,
         pt_angle=map_state.pt_angle,
+        pt_dir_sum=map_state.pt_dir_sum,
+        pt_dmin=map_state.pt_dmin,
+        pt_dmax=map_state.pt_dmax,
     )
     P = map_state.pt_xyz.shape[0]
     pid = jnp.clip(idx, 0, P - 1)
@@ -224,49 +227,64 @@ def relocalize(cfg: SlamConfig, map_state, loop_state, track: TrackState,
     """Relocalization (reference relocalize() via BoW candidates + PnP, §3.2
     lost path).
 
-    With a trained vocabulary: query the BoW database for the best candidate
-    keyframe, match the frame's descriptors into it bucketed by vocabulary
-    word (reference ``search_by_bow``), lift matches to the keyframe's map
-    points (backprojected depth where no point is bound), and solve 3D-3D
-    RANSAC + robust GN.  Before the vocabulary exists: brute-force the whole
-    point cloud (cold-start fallback).
+    With a trained vocabulary: query the BoW database for the top-R
+    candidate keyframes (reference: a candidate SET, §3.2), match the
+    frame's descriptors into each bucketed by vocabulary word (reference
+    ``search_by_bow``), lift matches to the keyframes' map points
+    (backprojected depth where no point is bound), and solve 3D-3D RANSAC +
+    robust GN for ALL candidates in one vmapped dispatch — the best
+    verified candidate wins, so an aliased-texture top score cannot sink
+    the frame.  Before the vocabulary exists: brute-force the whole point
+    cloud (cold-start fallback).
     """
     from boslam_tpu.matching import bow as bow_mod
     from boslam_tpu.loopclosure import vocab as vocab_mod
 
     P = map_state.pt_xyz.shape[0]
     K = map_state.kf_pose.shape[0]
+    R = cfg.tracker.reloc_candidates
+    N = feats.desc.shape[0]
 
     def bow_path(_):
         frame_bow = vocab_mod.bow_vector(
-            cfg, loop_state.vocab, feats.desc, feats.valid
+            cfg, loop_state.vocab, feats.desc, feats.valid,
+            idf=loop_state.idf,
         )
         scores = loop_state.kf_bow @ frame_bow
-        cand = jnp.argmax(jnp.where(map_state.kf_valid, scores, -1.0))
-        # Depthless frame keypoints can match too: the PnP consensus is
-        # reprojection-scored, so they vote without a 3D backprojection.
-        idx, ok, _ = bow_mod.search_by_bow(
-            loop_state.vocab, feats.desc, feats.valid,
-            map_state.kf_desc[cand],
-            map_state.kf_kp_valid[cand] & (map_state.kf_depth[cand] > 0),
-            max_dist=cfg.matcher.hamming_high, ratio=0.9,
-            angle_a=feats.angle, angle_b=map_state.kf_angle[cand],
+        _, cands = jax.lax.top_k(
+            jnp.where(map_state.kf_valid, scores, -1.0), R
         )
-        # World points of the matched keyframe slots: bound map point where
-        # one exists, otherwise the keypoint's depth backprojection.
-        N = map_state.kf_desc.shape[1]
-        j = jnp.clip(idx, 0, N - 1)
-        obs = map_state.kf_obs_pt[cand][j]
-        from boslam_tpu.geometry import camera as cam_mod
-        xc = cam_mod.backproject(
-            cfg.camera, map_state.kf_uv[cand][j], map_state.kf_depth[cand][j]
-        )
-        xw_bp = se3.pose_apply(se3.pose_inv(map_state.kf_pose[cand])[None], xc)
-        has_pt = obs >= 0
-        pts_w = jnp.where(
-            has_pt[:, None], map_state.pt_xyz[jnp.clip(obs, 0, P - 1)], xw_bp
-        )
-        return pts_w, idx, ok
+
+        def one(cand):
+            # Depthless frame keypoints can match too: the PnP consensus is
+            # reprojection-scored, so they vote without a 3D backprojection.
+            idx, ok, _ = bow_mod.search_by_bow(
+                loop_state.vocab, feats.desc, feats.valid,
+                map_state.kf_desc[cand],
+                map_state.kf_kp_valid[cand] & (map_state.kf_depth[cand] > 0),
+                max_dist=cfg.matcher.hamming_high, ratio=0.9,
+                angle_a=feats.angle, angle_b=map_state.kf_angle[cand],
+            )
+            # World points of the matched keyframe slots: bound map point
+            # where one exists, else the keypoint's depth backprojection.
+            j = jnp.clip(idx, 0, N - 1)
+            obs = map_state.kf_obs_pt[cand][j]
+            from boslam_tpu.geometry import camera as cam_mod
+            xc = cam_mod.backproject(
+                cfg.camera, map_state.kf_uv[cand][j],
+                map_state.kf_depth[cand][j],
+            )
+            xw_bp = se3.pose_apply(
+                se3.pose_inv(map_state.kf_pose[cand])[None], xc
+            )
+            has_pt = obs >= 0
+            pts_w = jnp.where(
+                has_pt[:, None],
+                map_state.pt_xyz[jnp.clip(obs, 0, P - 1)], xw_bp,
+            )
+            return pts_w, idx, ok
+
+        return jax.vmap(one)(cands)
 
     def global_path(_):
         if P >= FUSED_MATCH_MIN_POINTS:
@@ -296,12 +314,24 @@ def relocalize(cfg: SlamConfig, map_state, loop_state, track: TrackState,
             ok,
         )
         idx = jnp.where(ok, idx, -1)
-        return map_state.pt_xyz[jnp.clip(idx, 0, P - 1)], idx, ok
+        pts1 = map_state.pt_xyz[jnp.clip(idx, 0, P - 1)]
+        # One real candidate; pad to the R-wide batch with masked rows.
+        pts_r = jnp.broadcast_to(pts1[None], (R, N, 3))
+        idx_r = jnp.broadcast_to(idx[None], (R, N))
+        ok_r = jnp.concatenate([ok[None], jnp.zeros((R - 1, N), bool)])
+        return pts_r, idx_r, ok_r
 
     pts_w, idx, ok = jax.lax.cond(
         loop_state.vocab_ready, bow_path, global_path, None
     )
-    good, pose, n_inl = _reloc_solve(cfg, pts_w, feats, idx, ok, key)
+    # Solve every candidate in parallel; the most-inlier verified one wins.
+    good_r, pose_r, ninl_r = jax.vmap(
+        lambda p, i, o, k: _reloc_solve(cfg, p, feats, i, o, k)
+    )(pts_w, idx, ok, jax.random.split(key, R))
+    best = jnp.argmax(jnp.where(good_r, ninl_r, -1))
+    good = good_r[best]
+    pose = pose_r[best]
+    n_inl = ninl_r[best]
     # Re-center the reference keyframe on the recovered pose: local-scope
     # tracking (cfg.tracker.track_scope) builds its map around last_kf, so
     # leaving it at the pre-loss keyframe would immediately lose again.

@@ -55,6 +55,15 @@ def save(path: str, slam) -> None:
     ckptr.save(path, state, force=True)
 
 
+# Fields whose shape may legitimately differ between the snapshot and the
+# running engine (transient trackers whose capacity is a code constant, e.g.
+# the loop streak tracker growing from scalar to [N_STREAKS]).  On mismatch
+# these silently reset to the template default; ANY OTHER field with a shape
+# mismatch means the checkpoint was written under a different SlamConfig
+# (different capacities) and must fail loudly, not restore a half-empty map.
+_TRANSIENT_FIELDS = frozenset({"streak_kf", "streak_len"})
+
+
 def restore(path: str, slam) -> None:
     """Restore a SlamSystem in place (cfg must match the snapshot's shapes)."""
     import orbax.checkpoint as ocp
@@ -72,12 +81,18 @@ def restore(path: str, slam) -> None:
         fields = template._fields
         vals = template._asdict()
         for k, v in saved.items():
-            # Shape guard: a field whose shape changed since the snapshot
-            # (e.g. the loop streak tracker growing from scalar to
-            # [N_STREAKS]) keeps the template default — transient state
-            # resets instead of poisoning downstream shapes.
-            if k in fields and jnp.asarray(v).shape == jnp.shape(vals[k]):
-                vals[k] = jnp.asarray(v)
+            if k not in fields:
+                continue
+            if jnp.asarray(v).shape != jnp.shape(vals[k]):
+                if k in _TRANSIENT_FIELDS:
+                    continue  # transient tracker: reset to template default
+                raise ValueError(
+                    f"checkpoint field {type(template).__name__}.{k} has "
+                    f"shape {jnp.asarray(v).shape}, engine expects "
+                    f"{jnp.shape(vals[k])} — was the snapshot written under "
+                    "a different SlamConfig (capacities)?"
+                )
+            vals[k] = jnp.asarray(v)
         return type(template)(**vals)
 
     slam.map = merge(slam.map, dict(state["map"]))

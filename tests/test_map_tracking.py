@@ -277,3 +277,193 @@ def test_relocalize_global_path_large_map():
     assert int(new_track.status) == ST_OK
     est = np.asarray(se3.pose_inv(new_track.pose_cw))
     np.testing.assert_allclose(est[4:], pose[4:], atol=0.02)
+
+
+def test_viewing_model_gates_projection_search():
+    """Map-point viewing model (VERDICT r3 item 5): oblique and out-of-band
+    revisits must stop producing matches, same-viewpoint revisits must keep
+    matching, and points without a model (old checkpoints) pass ungated."""
+    from boslam_tpu.features.frontend import FrameFeatures
+    from boslam_tpu.matching import projection
+
+    P = CFG.map.max_points
+    N = CFG.orb.n_features
+    rng = np.random.default_rng(5)
+    desc = jnp.asarray(rng.integers(0, 2**32, (1, 8), dtype=np.uint32))
+    # One point at z=2 created from the origin at octave 0.
+    st = empty_map(CFG)
+    st = st._replace(
+        pt_xyz=st.pt_xyz.at[0].set(jnp.array([0.0, 0.0, 2.0])),
+        pt_desc=st.pt_desc.at[0].set(desc[0]),
+        pt_valid=st.pt_valid.at[0].set(True),
+        pt_dir_sum=st.pt_dir_sum.at[0].set(jnp.array([0.0, 0.0, -1.0])),
+        pt_dmin=st.pt_dmin.at[0].set(2.0 / CFG.orb.scale_factor ** 3),
+        pt_dmax=st.pt_dmax.at[0].set(2.0),
+    )
+
+    def feats_at(pose_cw):
+        uv, _, _ = projection.project_points(
+            CFG, pose_cw, st.pt_xyz, st.pt_valid
+        )
+        z = jnp.zeros((N,))
+        return FrameFeatures(
+            uv=jnp.zeros((N, 2)).at[0].set(uv[0]),
+            xyz=jnp.zeros((N, 3)),
+            depth=z,
+            desc=jnp.zeros((N, 8), jnp.uint32).at[0].set(desc[0]),
+            angle=jnp.zeros((N,)),
+            octave=jnp.zeros((N,), jnp.int32),
+            response=jnp.zeros((N,)),
+            valid=jnp.zeros((N,), bool).at[0].set(True),
+            has_depth=jnp.zeros((N,), bool),
+        )
+
+    def run(pose_cw, gated=True):
+        f = feats_at(pose_cw)
+        kw = dict(
+            pt_dir_sum=st.pt_dir_sum, pt_dmin=st.pt_dmin, pt_dmax=st.pt_dmax
+        ) if gated else {}
+        idx, ok, vis, _ = projection.search_by_projection(
+            CFG, f, pose_cw, st.pt_xyz, st.pt_desc, st.pt_valid,
+            radius=10.0, max_dist=50, ratio=1.0, mutual=True, **kw
+        )
+        return bool(ok[0])
+
+    # Original viewpoint: matches.
+    assert run(se3.pose_identity())
+    # 3x farther (dist 6 > 1.2 * dmax): distance band rejects.
+    far = se3.pose_inv(jnp.array([1.0, 0, 0, 0, 0, 0, -4.0]))
+    assert not run(far)
+    # ... but the same pose UNGATED (no viewing model passed) still matches.
+    assert run(far, gated=False)
+    # Opposite side (camera at z=4 looking back): view angle rejects.
+    behind = se3.pose_inv(jnp.array([0.0, 0, 1.0, 0, 0, 0, 4.0]))
+    assert not run(behind)
+    # A model-less point (zero dir_sum / zero dmax) passes all gates.
+    st2 = st._replace(
+        pt_dir_sum=st.pt_dir_sum.at[0].set(0.0),
+        pt_dmin=st.pt_dmin.at[0].set(0.0),
+        pt_dmax=st.pt_dmax.at[0].set(0.0),
+    )
+    f = feats_at(far)
+    idx, ok, _, _ = projection.search_by_projection(
+        CFG, f, far, st2.pt_xyz, st2.pt_desc, st2.pt_valid,
+        radius=10.0, max_dist=50, ratio=1.0, mutual=True,
+        pt_dir_sum=st2.pt_dir_sum, pt_dmin=st2.pt_dmin, pt_dmax=st2.pt_dmax,
+    )
+    assert bool(ok[0])
+
+
+def test_refresh_point_model_medoid_descriptor():
+    """refresh_point_model picks the min-mean-Hamming observation as the
+    representative descriptor and recomputes the mean viewing direction."""
+    rng = np.random.default_rng(7)
+    traj = synthetic.orbit_trajectory(10, radius=0.35, yaw_amplitude=0.1)
+    frames = synthetic.render_sequence(CAM, traj)
+    st = empty_map(CFG)
+    track = init_track_state()
+    f0 = extract(frames[0][1], frames[0][2])
+    mp, ok0 = no_match(CFG.orb.n_features)
+    st, _ = map_ops.insert_keyframe(CFG, st, f0, se3.pose_identity(), mp, ok0, 0)
+    track = track._replace(status=jnp.asarray(1, jnp.int32))
+    for ts, rgb, depth in frames[1:]:
+        f = extract(rgb, depth)
+        track, out = track_frame(CFG, st, track, f)
+        if bool(out.need_kf):
+            st, slot = map_ops.insert_keyframe(
+                CFG, st, f, out.pose_cw, out.match_pt, out.match_ok,
+                track.frame_idx,
+            )
+            track = track._replace(last_kf=slot,
+                                   n_since_kf=jnp.zeros((), jnp.int32))
+    slot = int(track.last_kf)
+    st2 = map_ops.refresh_point_model(CFG, st, jnp.asarray(slot, jnp.int32))
+    alive = np.asarray(st2.pt_valid)
+    # Multi-observation points got a refreshed (normalized-direction) model.
+    n_obs = np.asarray(point_obs_count(st))
+    multi = alive & (n_obs >= 2)
+    assert multi.sum() > 10
+    nrm = np.linalg.norm(np.asarray(st2.pt_dir_sum), axis=-1)
+    assert np.all(nrm[multi] > 0.5)
+    # Distance bands stay positive and ordered.
+    assert np.all(np.asarray(st2.pt_dmax)[alive] > 0)
+    assert np.all(
+        np.asarray(st2.pt_dmin)[alive] <= np.asarray(st2.pt_dmax)[alive] + 1e-6
+    )
+    # The representative descriptor of every refreshed point is one of its
+    # window observations (spot-check: descriptors are still plausible, the
+    # medoid never invents bits) — check a sample point's desc appears in
+    # some keyframe's descriptor table.
+    pids = np.where(multi)[0][:5]
+    kf_desc = np.asarray(st2.kf_desc).reshape(-1, 8)
+    for p in pids:
+        d = np.asarray(st2.pt_desc[p])
+        assert (kf_desc == d[None, :]).all(axis=1).any()
+
+
+def test_multi_candidate_relocalization_survives_alias():
+    """Multi-candidate BoW relocalization (VERDICT r3 item 6): when the
+    BEST-scoring BoW candidate is a texture alias (a keyframe whose BoW row
+    matches perfectly but whose geometry cannot explain the frame), reloc
+    must still recover via candidate #2 — and demonstrably NOT with a
+    single-candidate config."""
+    import dataclasses
+
+    from boslam_tpu.config import LoopConfig
+    from boslam_tpu.loopclosure import vocab as vocab_mod
+    from boslam_tpu.slam import run_sequence
+    from boslam_tpu.tracking import relocalize
+    from boslam_tpu.tracking.tracker import ST_OK
+
+    cfg = SlamConfig(
+        camera=CAM, orb=OrbConfig(n_features=256, n_levels=4),
+        loop=LoopConfig(vocab_train_kf=3),
+    )
+    traj = synthetic.orbit_trajectory(30, radius=0.5, yaw_amplitude=0.2)
+    frames = synthetic.render_sequence(CAM, traj)
+    slam = run_sequence(cfg, frames)
+    assert bool(slam.loop.vocab_ready)
+
+    # Alias keyframe: a 180-degree-turned view (sees the OPPOSITE wall, so
+    # its keypoint geometry cannot relocalize any orbit frame).
+    alias_twc = np.array([0.0, 0, 1.0, 0, 0.0, 0.0, 1.0])
+    rgb_a, depth_a = synthetic.render_frame(CAM, alias_twc)
+    f_alias = extract_features(
+        jnp.asarray(rgb_to_gray(rgb_a)), jnp.asarray(depth_a), cfg
+    )
+    mp, ok0 = no_match(cfg.orb.n_features)
+    st, alias_slot = map_ops.insert_keyframe(
+        cfg, slam.map, f_alias,
+        se3.pose_inv(jnp.asarray(alias_twc, jnp.float32)), mp, ok0, 999,
+    )
+
+    # Query: an early orbit frame; poison the alias keyframe's BoW row with
+    # the query's own BoW vector => alias outscores every genuine candidate.
+    qi = 3
+    f_q = extract_features(
+        jnp.asarray(rgb_to_gray(frames[qi][1])), jnp.asarray(frames[qi][2]), cfg
+    )
+    q_bow = vocab_mod.bow_vector(
+        cfg, slam.loop.vocab, f_q.desc, f_q.valid, idf=slam.loop.idf
+    )
+    ls = slam.loop._replace(kf_bow=slam.loop.kf_bow.at[alias_slot].set(q_bow))
+    scores = np.asarray(ls.kf_bow @ q_bow)
+    assert np.argmax(np.where(np.asarray(st.kf_valid), scores, -1)) == int(
+        alias_slot
+    )
+
+    track = init_track_state()._replace(status=jnp.asarray(2, jnp.int32))
+    new_track, good, n_inl = relocalize(
+        cfg, st, ls, track, f_q, jax.random.key(1)
+    )
+    assert bool(good), f"reloc failed despite genuine candidate #2 ({int(n_inl)})"
+    assert int(new_track.status) == ST_OK
+    est = np.asarray(se3.pose_inv(new_track.pose_cw))
+    np.testing.assert_allclose(est[4:], traj.poses_twc[qi][4:], atol=0.05)
+
+    # Control: argmax-only reloc (candidates=1) is sunk by the alias.
+    cfg1 = cfg.replace(
+        tracker=dataclasses.replace(cfg.tracker, reloc_candidates=1)
+    )
+    _, good1, _ = relocalize(cfg1, st, ls, track, f_q, jax.random.key(1))
+    assert not bool(good1), "alias candidate unexpectedly relocalized"

@@ -12,7 +12,6 @@ from jax.sharding import PartitionSpec as P
 from boslam_tpu.config import CameraConfig, LocalBaConfig, OrbConfig, SlamConfig
 from boslam_tpu.geometry import se3
 from boslam_tpu.parallel import make_mesh
-from boslam_tpu.parallel.batch import make_batched_tracker, stack_trees
 from boslam_tpu.parallel.sharded_ba import (
     make_sharded_ba, shard_edges_by_point, stripe_points,
 )
@@ -88,51 +87,6 @@ def test_sharded_ba_converges(rng):
 
 CAM = CameraConfig(width=160, height=120, fx=70.0, fy=70.0, cx=80.0, cy=60.0)
 DP_CFG = SlamConfig(camera=CAM, orb=OrbConfig(n_features=128, n_levels=3))
-
-
-def test_batched_tracking_matches_sequential():
-    from boslam_tpu.features import extract_features
-    from boslam_tpu.features.frontend import rgb_to_gray
-    from boslam_tpu.io import synthetic
-    from boslam_tpu.mapping import empty_map, map_ops
-    from boslam_tpu.tracking import init_track_state, track_frame
-
-    n = DP_CFG.orb.n_features
-    maps, tracks, feats1 = [], [], []
-    for seed in (0, 1):
-        traj = synthetic.random_walk_trajectory(2, seed=seed, step_t=0.01)
-        frames = synthetic.render_sequence(CAM, traj)
-        f0 = extract_features(
-            jnp.asarray(rgb_to_gray(frames[0][1])), jnp.asarray(frames[0][2]), DP_CFG
-        )
-        st, _ = map_ops.insert_keyframe(
-            DP_CFG, empty_map(DP_CFG), f0, se3.pose_identity(),
-            jnp.full((n,), -1, jnp.int32), jnp.zeros(n, bool), 0,
-        )
-        tr = init_track_state()._replace(status=jnp.asarray(1, jnp.int32))
-        f1 = extract_features(
-            jnp.asarray(rgb_to_gray(frames[1][1])), jnp.asarray(frames[1][2]), DP_CFG
-        )
-        maps.append(st)
-        tracks.append(tr)
-        feats1.append(f1)
-
-    # Sequential reference.
-    ref = [track_frame(DP_CFG, m, t, f) for m, t, f in zip(maps, tracks, feats1)]
-
-    # Batched + sharded over 'seq'.
-    mesh = make_mesh(2, seq=2)
-    step, shard = make_batched_tracker(DP_CFG, mesh)
-    bm = stack_trees(maps)
-    bt = stack_trees(tracks)
-    bf = stack_trees(feats1)
-    new_tracks, outs = step(bm, bt, bf)
-
-    for s in range(2):
-        np.testing.assert_allclose(
-            np.asarray(outs.pose_cw[s]), np.asarray(ref[s][1].pose_cw), atol=1e-4
-        )
-        assert int(outs.n_inliers[s]) == int(ref[s][1].n_inliers)
 
 
 def test_batched_engine_matches_single_engine():

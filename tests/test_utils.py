@@ -122,3 +122,60 @@ def test_checkpoint_restore_fills_missing_fields(tmp_path):
     assert slam2.n_keyframes == slam.n_keyframes
     # Missing field came back as the empty-map default.
     assert int(jnp.max(slam2.map.kf_seq)) == -1
+
+
+def test_checkpoint_restore_rejects_mismatched_capacities(tmp_path):
+    """Restoring a snapshot written under a different SlamConfig (different
+    map capacities) must fail loudly — not silently reset the map arrays to
+    empty while scalars load (advisor r3)."""
+    import dataclasses
+
+    import pytest
+
+    traj = synthetic.orbit_trajectory(6, radius=0.3)
+    frames = synthetic.render_sequence(CAM, traj)
+    slam = SlamSystem(CFG)
+    for ts, rgb, depth in frames:
+        slam.process_frame(ts, rgb, depth)
+    path = str(tmp_path / "ckpt_cap")
+    ckpt.save(path, slam)
+
+    other = CFG.replace(
+        map=dataclasses.replace(CFG.map, max_keyframes=CFG.map.max_keyframes * 2)
+    )
+    slam2 = SlamSystem(other)
+    with pytest.raises(ValueError, match="shape"):
+        ckpt.restore(path, slam2)
+
+
+def test_config_from_yaml(tmp_path):
+    """YAML config loading (SURVEY.md §5.6): sections override the base
+    preset, capacities included; unknown keys raise."""
+    import pytest
+
+    from boslam_tpu.config import SlamConfig, TUM_FR2
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "map:\n  max_keyframes: 64\n  max_points: 4096\n"
+        "orb:\n  n_features: 256\n"
+        "camera:\n  fx: 333.0\n"
+    )
+    cfg = SlamConfig.from_yaml(str(p), base=SlamConfig(camera=TUM_FR2))
+    assert cfg.map.max_keyframes == 64
+    assert cfg.map.max_points == 4096
+    assert cfg.orb.n_features == 256
+    assert cfg.camera.fx == 333.0
+    # Non-overridden fields keep the base preset's values.
+    assert cfg.camera.fy == TUM_FR2.fy
+    assert cfg.orb.n_levels == 8
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("mapp:\n  max_keyframes: 64\n")
+    with pytest.raises(ValueError, match="unknown config sections"):
+        SlamConfig.from_yaml(str(bad))
+
+    bad2 = tmp_path / "bad2.yaml"
+    bad2.write_text("map:\n  max_keyframez: 64\n")
+    with pytest.raises(TypeError):
+        SlamConfig.from_yaml(str(bad2))
