@@ -7,17 +7,29 @@ Workload (no TUM data ships in this container — SURVEY.md §0):
    levels, local BA on every keyframe).  Three petals leave and re-enter
    the start region, so the run exercises MULTIPLE loop closures with drift
    (local-scope tracking, the reference's track_local_map policy).
-   Reports tracked frames/s/chip, ATE RMSE, loops closed.
-2. **Tracked-map global BA** (BASELINE config 4 on ENGINE-BUILT state):
-   a 400-frame survey trajectory with 1024 features / 64k-point capacity
-   and a dense keyframe policy drives the engine itself to a large map;
-   global BA then runs on THAT map (not a synthetic problem).  Reports
-   LM iters/s + ATE before/after.
-3. **Global BA kernel scale** (config 4 kernel number): 256 keyframes x
-   50k landmarks x 131k observations from `synthetic_ba_problem`,
-   matrix-free PCG Schur; LM iters/s on cached executables.
-4. **Per-stage ms + utilization** (feature / track / local BA) on
-   production shapes (XLA-estimated FLOPs+bytes vs chip peaks).
+   Reports tracked frames/s/chip (median of up to 3 passes), ATE RMSE,
+   loops closed.
+2. **Per-stage ms + utilization** (feature / track / local BA) on
+   production shapes (XLA-estimated FLOPs+bytes vs chip peaks) and the
+   device-path ms/frame ceiling (scan-chained fused step).
+3. **Accuracy error budget** (cheap subset): ATE with loop closing off
+   (drift floor) and on a noise-0 render (intrinsic accuracy without the
+   injected sensor noise).  The full stride/noise sweep is `--error-budget`.
+4. **Global BA kernel scale** (config 4 kernel number): 256 keyframes x
+   50k landmarks x 131k observations, matrix-free PCG Schur; LM iters/s.
+5. **Tracked-map global BA** (BASELINE config 4 on ENGINE-BUILT state):
+   a 400-frame survey drives the engine to a large map; global BA runs on
+   THAT map.  Reports LM iters/s + ATE before/after.
+
+**Time budget (VERDICT r3 item 1):** the harness holds a wall-clock budget
+(`--budget`, default 480 s).  The PRIMARY JSON line prints immediately
+after phase 1; phases 2-5 each run only if the remaining budget covers
+their (cold-cache) estimate, and a final JSON line — a strict superset of
+the primary line — reports what ran and what was skipped.  Rendering is
+overlapped with device compiles on a background thread, warmup is a frame
+subset plus explicit precompiles of the rare host-event programs (the
+compile set is shape-bound, not data-bound), so a cold-cache run always
+produces the primary metrics well inside the driver's window.
 
 ``vs_baseline`` honesty note: the reference publishes no numbers and its
 mount is EMPTY (SURVEY.md §0/§6) so it was never measured; the denominator
@@ -25,7 +37,7 @@ is 30 fps — the ORB-SLAM-family real-time CPU tracking rate (PAPERS.md:9),
 an UPPER BOUND on the pure-Python reference.  The ratio is therefore a
 lower bound on the true speedup.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 from __future__ import annotations
@@ -33,6 +45,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import threading
 import time
 
 import numpy as np
@@ -40,16 +53,113 @@ import numpy as np
 BASELINE_FPS = 30.0  # ORB-SLAM family CPU rate — see module docstring.
 
 
-def _wire_frames(cfg, frames):
-    """Pre-quantize depth to u16 (the TUM on-disk PNG encoding): datasets
-    arrive in wire format; quantizing f32 synthetic renders per-frame in
-    the measured loop would bill dataset-creation work to the engine."""
-    from boslam_tpu.slam import depth_to_u16
+class Budget:
+    """Wall-clock budget: phases check ``allow(name, est)`` before running."""
 
-    return [
-        (ts, rgb, depth_to_u16(d, cfg.camera.depth_factor))
-        for ts, rgb, d in frames
-    ]
+    def __init__(self, total_s: float):
+        self.t0 = time.perf_counter()
+        self.total = total_s
+        self.skipped = []
+
+    def remaining(self) -> float:
+        return self.total - (time.perf_counter() - self.t0)
+
+    def allow(self, name: str, est_s: float) -> bool:
+        rem = self.remaining()
+        if rem >= est_s:
+            return True
+        self.skipped.append(name)
+        print(
+            f"[bench] SKIP {name}: est {est_s:.0f}s > {rem:.0f}s remaining",
+            file=sys.stderr,
+        )
+        return False
+
+
+def _wire(cfg, ts, rgb, depth_f32):
+    """Full render -> engine wire format: u8 gray + u16 block-reduced depth.
+    Datasets arrive in wire format (the native loader / dataset prep side
+    does this conversion); doing it in the measured loop would bill
+    dataset-creation work to the engine."""
+    from boslam_tpu.slam import depth_wire, to_gray_u8
+
+    return ts, to_gray_u8(rgb), depth_wire(depth_f32, cfg.camera)
+
+
+class RenderFeed:
+    """Background renderer: the main tracking sequence renders frame-by-frame
+    (incrementally consumable so engine warmup overlaps the render), then any
+    queued extra sequences render to completion.  One thread, sequential —
+    render is host numpy and must not contend with itself."""
+
+    def __init__(self, cfg, traj, *, depth_noise, seed, room_scale):
+        self.cfg = cfg
+        self.frames = []
+        self.n_total = len(traj.timestamps)
+        self.extra = {}
+        self._jobs = []
+        self._cv = threading.Condition()
+        self._main_args = (traj, depth_noise, seed, room_scale)
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def queue(self, name, cfg, traj, *, depth_noise, seed, room_scale):
+        with self._cv:
+            self._jobs.append((name, cfg, traj, depth_noise, seed, room_scale))
+            self._cv.notify_all()
+
+    def _render(self, cfg, traj, depth_noise, seed, room_scale, sink):
+        from boslam_tpu.io.synthetic import render_frame
+
+        rng = np.random.default_rng(seed)
+        for ts, pose in zip(traj.timestamps, traj.poses_twc):
+            rgb, depth = render_frame(cfg.camera, pose, room_scale=room_scale)
+            if depth_noise > 0:
+                depth = depth + rng.normal(size=depth.shape).astype(
+                    np.float32
+                ) * (depth_noise * depth)
+            frame = _wire(cfg, float(ts), rgb, depth)
+            with self._cv:
+                sink.append(frame)
+                self._cv.notify_all()
+
+    def _work(self):
+        traj, noise, seed, scale = self._main_args
+        self._render(self.cfg, traj, noise, seed, scale, self.frames)
+        while True:
+            with self._cv:
+                while not self._jobs:
+                    self._cv.wait(timeout=1.0)
+                name, cfg, traj, noise, seed, scale = self._jobs.pop(0)
+                if name is None:
+                    return
+                sink = self.extra.setdefault(name, [])
+            self._render(cfg, traj, noise, seed, scale, sink)
+            with self._cv:
+                self.extra[name + ":done"] = True
+                self._cv.notify_all()
+
+    def get(self, i):
+        """Blocking: the i-th main-sequence frame."""
+        with self._cv:
+            while len(self.frames) < i + 1:
+                self._cv.wait()
+            return self.frames[i]
+
+    def wait_main(self):
+        with self._cv:
+            while len(self.frames) < self.n_total:
+                self._cv.wait()
+            return self.frames
+
+    def wait_extra(self, name, timeout_s=600.0):
+        deadline = time.perf_counter() + timeout_s
+        with self._cv:
+            while not self.extra.get(name + ":done"):
+                if time.perf_counter() > deadline:
+                    return None
+                self._cv.wait(timeout=1.0)
+            return self.extra[name]
 
 
 def _ate(slam, traj):
@@ -58,19 +168,61 @@ def _ate(slam, traj):
     from boslam_tpu.geometry import align
 
     _, est = slam.trajectory()
+    n = min(len(est), len(traj.poses_twc))
     rmse, _ = align.ate_rmse(
-        jnp.asarray(est[:, 4:]), jnp.asarray(traj.poses_twc[:, 4:])
+        jnp.asarray(est[:n, 4:]), jnp.asarray(traj.poses_twc[:n, 4:])
     )
     return float(rmse)
 
 
-def bench_tracking(args):
+def _run_engine(cfg, frames, *, loop_off: bool = False):
+    """One engine pass over wire-format frames; returns the SlamSystem."""
+    from boslam_tpu.slam import SlamSystem
+
+    slam = SlamSystem(cfg)
+    if loop_off:
+        slam.MAX_VERIFY = 0  # host never verifies -> no closures (drift floor)
+    for ts, gray, d16 in frames:
+        slam.feed(ts, gray, d16)
+    slam.flush()
+    return slam
+
+
+def _precompile_host_events(slam):
+    """Compile the rare host-event programs on the warmup engine's state so
+    the measured passes never hit a compile: vocabulary (re)train, batched
+    loop verification, and the fused loop-closure correction.  The compile
+    set is shape-bound (cfg-static), so dummy indices compile the exact
+    programs the real events run."""
+    import jax
+    import jax.numpy as jnp
+
+    from boslam_tpu.loopclosure import train_vocab, verify_loops_batch
+    from boslam_tpu.slam import SlamSystem
+    from boslam_tpu.solvers.pose_graph import close_loop_update
+
+    cfg = slam.cfg
+    if slam._vocab_trained_at < 0:
+        slam.loop = train_vocab(cfg, slam.loop, slam.map)
+    kf = jnp.argmax(jnp.where(slam.map.kf_valid, slam.map.kf_seq, -1)).astype(
+        jnp.int32
+    )
+    m = SlamSystem.MAX_VERIFY
+    kf_ids = jnp.full((m,), kf, jnp.int32)
+    keys = jax.random.split(jax.random.key(1), m)
+    ok, t_rel, n_inl, midx, mok = verify_loops_batch(
+        cfg, slam.map, kf_ids, jnp.zeros_like(kf_ids), keys
+    )
+    st2, _ = close_loop_update(
+        cfg, slam.map, kf, jnp.zeros((), jnp.int32), t_rel[0], midx[0], mok[0]
+    )
+    jax.block_until_ready(st2.kf_pose)
+
+
+def _tracking_cfg(args):
     from boslam_tpu.config import (
         CameraConfig, LoopConfig, SlamConfig, TrackerConfig,
     )
-    from boslam_tpu.io import synthetic
-    from boslam_tpu.slam import SlamSystem
-    from boslam_tpu.utils.timing import stage_timings
 
     # Wide-FOV VGA RGBD camera (Kinect-FOV class) with fr2-range depth:
     # the hall-scale clover needs ~90 degrees of FOV to keep pixel flow
@@ -79,116 +231,180 @@ def bench_tracking(args):
     # envelope 4x over.  All compute shapes (640x480, 512 features, 8
     # levels) are identical to the TUM presets, so the fps is the
     # production number.
-    cam = CameraConfig(fx=260.0, fy=260.0, cx=319.5, cy=239.5, depth_max=20.0)
-    cfg = SlamConfig(
+    cam = CameraConfig(
+        fx=260.0, fy=260.0, cx=319.5, cy=239.5, depth_max=20.0,
+        depth_wire_stride=args.depth_stride,
+    )
+    return SlamConfig(
         camera=cam,
         loop=LoopConfig(min_gap_kf=8, consistency=2),
         tracker=TrackerConfig(kf_min_interval=2, kf_tracked_ratio=0.8),
     )
-    if args.depth_stride != 1:
-        import dataclasses
 
-        cfg = cfg.replace(
-            camera=dataclasses.replace(cam, depth_wire_stride=args.depth_stride)
+
+def bench_tracking(args, budget, rf, traj):
+    cfg = rf.cfg
+
+    # Warmup: a frame subset compiles the fused step + flush machinery
+    # while the renderer still works in the background, then the explicit
+    # precompiles cover the rare host-event programs (vocab / verify /
+    # close-loop) that a subset may not trigger naturally.
+    t0 = time.perf_counter()
+    warm = min(args.warmup_frames, args.frames)
+    from boslam_tpu.slam import SlamSystem
+
+    slam = SlamSystem(cfg)
+    for i in range(warm):
+        slam.feed(*rf.get(i))
+    slam.flush()
+    _precompile_host_events(slam)
+    print(
+        f"[bench] warmup ({warm} frames + host-event precompiles): "
+        f"{time.perf_counter()-t0:.1f}s", file=sys.stderr,
+    )
+
+    t0 = time.perf_counter()
+    frames = rf.wait_main()
+    if time.perf_counter() - t0 > 0.5:
+        print(
+            f"[bench] waited {time.perf_counter()-t0:.1f}s for renderer",
+            file=sys.stderr,
         )
 
-    traj = synthetic.clover_trajectory(
-        args.frames, n_petals=3, radius=2.5, yaw_amplitude=0.4
-    )
-    t0 = time.perf_counter()
-    frames = _wire_frames(cfg, synthetic.render_sequence(
-        cfg.camera, traj, depth_noise=0.025, seed=3, room_scale=2.5
-    ))
-    print(
-        f"[bench] rendered {len(frames)} frames in "
-        f"{time.perf_counter()-t0:.1f}s", file=sys.stderr,
-    )
-
-    # Warmup pass compiles every megafunction (fused frame step, vocab
-    # training + refresh, loop verify, pose graph).
-    t0 = time.perf_counter()
-    warm = args.warmup_frames or args.frames
-    slam = SlamSystem(cfg)
-    for ts, rgb, depth in frames[:warm]:
-        slam.feed(ts, rgb, depth)
-    slam.flush()
-    print(
-        f"[bench] warmup ({warm} frames incl. compiles): "
-        f"{time.perf_counter()-t0:.1f}s", file=sys.stderr,
-    )
-
-    # Measured passes: fresh engine state, cached executables.  Three
-    # passes, best-of reported: the tunneled device's wire bandwidth swings
-    # >2x between runs (measured 28..81 fps on identical code), so a single
-    # pass mostly measures the tunnel's mood.
+    # Measured passes: fresh engine state, cached executables.  Up to
+    # three passes, median reported (best kept as fps_best): the tunneled
+    # device's wire bandwidth swings >2x between runs (measured 28..81 fps
+    # on identical code), so a single pass mostly measures the tunnel's
+    # mood, and best-of-N would inflate the headline (ADVICE r3).
     fps_runs = []
-    for _ in range(3):
-        slam = SlamSystem(cfg)
+    for i in range(3):
+        if i > 0 and budget.remaining() < 60:
+            budget.skipped.append(f"fps_pass_{i}")
+            break
         t0 = time.perf_counter()
-        for ts, rgb, depth in frames:
-            slam.feed(ts, rgb, depth)
-        slam.flush()
+        slam = _run_engine(cfg, frames)
         fps_runs.append(len(frames) / (time.perf_counter() - t0))
-    fps = max(fps_runs)
+    fps = float(np.median(fps_runs))
 
     rmse = _ate(slam, traj)
     n_lost = sum(1 for m in slam.metrics if m.get("lost", False))
     n_kf_events = sum(1 for m in slam.metrics if m.get("event") == "keyframe")
     print(
-        f"[bench] fps={fps:.2f} ate_rmse={rmse:.4f}m "
-        f"kf={slam.n_keyframes} (events={n_kf_events}) pts={slam.n_points} "
-        f"lost={n_lost} loops={slam.n_loops_closed}", file=sys.stderr,
+        f"[bench] fps={fps:.2f} (runs {[round(f,1) for f in fps_runs]}) "
+        f"ate_rmse={rmse:.4f}m kf={slam.n_keyframes} (events={n_kf_events}) "
+        f"pts={slam.n_points} lost={n_lost} loops={slam.n_loops_closed}",
+        file=sys.stderr,
     )
-
-    stages = {}
-    if not args.no_stages:
-        from boslam_tpu.features.frontend import rgb_to_gray
-        from boslam_tpu.slam import to_gray_u8
-        from boslam_tpu.utils.timing import fused_step_device_ms
-
-        _, rgb, d16 = frames[len(frames) // 2]
-        s2 = cfg.camera.depth_wire_stride
-        d16 = np.ascontiguousarray(d16[::s2, ::s2])  # wire format
-        depth = d16.astype(np.float32) / cfg.camera.depth_factor
-        stages = stage_timings(slam, rgb_to_gray(rgb), depth)
-        # Device-path ceiling: the fused step scan-chained on device, i.e.
-        # what a LOCAL (non-tunneled) chip deployment pays per frame.  The
-        # wall-clock fps above additionally carries this container's
-        # remote-TPU tunnel wire costs (~0.9 MB/frame H2D).
-        dev_ms = fused_step_device_ms(slam, to_gray_u8(rgb), d16)
-        stages["device_step_ms"] = dev_ms
-        stages["device_fps"] = 1e3 / max(dev_ms, 1e-6)
-        print(f"[bench] stages: " + " ".join(
-            f"{k}={v:.4f}" if "util" in k else f"{k}={v:.2f}"
-            for k, v in stages.items()), file=sys.stderr)
-
-    return {
+    extras = {
         "fps": round(fps, 3),
+        "fps_best": round(max(fps_runs), 3),
+        "fps_runs": [round(f, 2) for f in fps_runs],
         "ate_rmse_m": round(rmse, 5),
         "keyframes": int(slam.n_keyframes),
         "map_points": int(slam.n_points),
         "loops_closed": int(slam.n_loops_closed),
         "loop_edges": int(slam.map.n_loop_edges),
         "lost_frames": n_lost,
-        "fps_runs": [round(f, 2) for f in fps_runs],
         "depth_wire_stride": cfg.camera.depth_wire_stride,
-        **{k: round(v, 4 if "util" in k else 2) for k, v in stages.items()},
+    }
+    return extras, slam, frames
+
+
+def bench_stages(args, slam, frames):
+    """Per-stage ms + utilization + the device-path fps ceiling."""
+    from boslam_tpu.utils.timing import fused_step_device_ms, stage_timings
+
+    cfg = slam.cfg
+    _, gray, d16 = frames[len(frames) // 2]
+    depth = np.asarray(d16).astype(np.float32) / cfg.camera.depth_factor
+    stages = stage_timings(slam, gray.astype(np.float32), depth)
+    # Device-path ceiling: the fused step scan-chained on device, i.e.
+    # what a LOCAL (non-tunneled) chip deployment pays per frame.  The
+    # wall-clock fps above additionally carries this container's
+    # remote-TPU tunnel wire costs (~0.45 MB/frame H2D).
+    dev_ms = fused_step_device_ms(slam, gray, np.asarray(d16))
+    stages["device_step_ms"] = dev_ms
+    stages["device_fps"] = 1e3 / max(dev_ms, 1e-6)
+    print("[bench] stages: " + " ".join(
+        f"{k}={v:.4f}" if "util" in k else f"{k}={v:.2f}"
+        for k, v in stages.items()), file=sys.stderr)
+    return {
+        k: round(v, 4 if "util" in k else 2) for k, v in stages.items()
     }
 
 
-def bench_tracked_global_ba(args):
+def bench_error_budget_cheap(args, budget, rf, traj, cfg, frames):
+    """Cheap error-budget subset (VERDICT r3 item 4) — no recompiles:
+    loop-off on the main render (drift floor) and the noise-0 render
+    (intrinsic accuracy, same stride).  The full stride sweep (which
+    recompiles the frame step per stride) is ``--error-budget``."""
+    out = {}
+    t0 = time.perf_counter()
+    slam_off = _run_engine(cfg, frames, loop_off=True)
+    out["ate_loop_off_m"] = round(_ate(slam_off, traj), 5)
+    noise0 = rf.wait_extra("noise0", timeout_s=max(budget.remaining(), 5.0))
+    if noise0 is not None:
+        slam0 = _run_engine(cfg, noise0)
+        out["ate_noise0_m"] = round(_ate(slam0, traj), 5)
+        out["loops_noise0"] = int(slam0.n_loops_closed)
+    else:
+        budget.skipped.append("error_budget_noise0")
+    print(
+        f"[bench] error budget ({time.perf_counter()-t0:.1f}s): "
+        + " ".join(f"{k}={v}" for k, v in out.items()), file=sys.stderr,
+    )
+    return out
+
+
+def bench_error_budget_full(args, budget, traj):
+    """Full 5-point error budget (VERDICT r3 item 4): ATE on noise-0 and
+    2.5%-noise renders at stride 1 and 2, plus loop-off — separates
+    intrinsic drift, the sensor-noise floor, the wire-format cost, and the
+    loop-closure benefit.  Stride changes the wire shape, so each stride
+    compiles its own frame step — run via ``--error-budget`` (too slow for
+    the driver window cold)."""
+    import dataclasses
+
+    out = {}
+    for stride in (1, 2):
+        a2 = argparse.Namespace(**vars(args))
+        a2.depth_stride = stride
+        cfg = _tracking_cfg(a2)
+        for noise, tag in ((0.0, "noise0"), (0.025, "noise25")):
+            rf = RenderFeed(
+                cfg, traj, depth_noise=noise, seed=3, room_scale=2.5
+            )
+            frames = rf.wait_main()
+            slam = _run_engine(cfg, frames)  # compile (per stride) + run
+            t0 = time.perf_counter()
+            slam = _run_engine(cfg, frames)
+            dt = time.perf_counter() - t0
+            key = f"ate_{tag}_stride{stride}_m"
+            out[key] = round(_ate(slam, traj), 5)
+            out[f"loops_{tag}_stride{stride}"] = int(slam.n_loops_closed)
+            if noise > 0:
+                slam_off = _run_engine(cfg, frames, loop_off=True)
+                out[f"ate_loopoff_stride{stride}_m"] = round(
+                    _ate(slam_off, traj), 5
+                )
+            print(
+                f"[bench] error-budget stride={stride} {tag}: "
+                f"ate={out[key]} ({len(frames)/dt:.1f} fps)",
+                file=sys.stderr,
+            )
+    print("[bench] error budget full: " + json.dumps(out), file=sys.stderr)
+    return out
+
+
+def bench_tracked_global_ba(args, budget, rf):
     """BASELINE config 4 on a map the ENGINE built (VERDICT r2 item 3):
     drive tracking over a survey trajectory to a large live map, then
     global-BA that state and measure LM iters/s + ATE before/after."""
-    import jax
-    import jax.numpy as jnp
-
     from boslam_tpu.config import (
         CameraConfig, LoopConfig, MapConfig, OrbConfig, SlamConfig,
         TrackerConfig,
     )
     from boslam_tpu.io import synthetic
-    from boslam_tpu.slam import SlamSystem
     from boslam_tpu.solvers.global_ba import global_bundle_adjustment
 
     # Same wide-FOV VGA camera as the tracking bench (see note there);
@@ -209,19 +425,12 @@ def bench_tracked_global_ba(args):
                               kf_tracked_ratio=0.8),
     )
     traj = synthetic.survey_trajectory(args.ba_frames, span=6.0)
+    frames = rf.wait_extra("survey", timeout_s=max(budget.remaining(), 10.0))
+    if frames is None:
+        budget.skipped.append("tracked_ba_render")
+        return {}
     t0 = time.perf_counter()
-    frames = _wire_frames(cfg, synthetic.render_sequence(
-        cfg.camera, traj, depth_noise=0.01, seed=5, room_scale=3.0
-    ))
-    print(
-        f"[bench] tracked-BA: rendered {len(frames)} frames in "
-        f"{time.perf_counter()-t0:.1f}s", file=sys.stderr,
-    )
-    t0 = time.perf_counter()
-    slam = SlamSystem(cfg)
-    for ts, rgb, depth in frames:
-        slam.feed(ts, rgb, depth)
-    slam.flush()
+    slam = _run_engine(cfg, frames)
     print(
         f"[bench] tracked-BA: engine run {time.perf_counter()-t0:.1f}s "
         f"(incl. compiles) kf={slam.n_keyframes} pts={slam.n_points}",
@@ -267,7 +476,6 @@ def bench_tracked_global_ba(args):
 
 def bench_global_ba(args):
     """BASELINE config-4 kernel scale: 50k landmarks, 131k observations."""
-    import jax
     import jax.numpy as jnp
 
     from boslam_tpu.config import MapConfig, OrbConfig, SlamConfig
@@ -293,7 +501,6 @@ def bench_global_ba(args):
     dt = time.perf_counter() - t0
     iters_per_s = lm_iters / dt
     from boslam_tpu.geometry import se3
-    import jax.numpy as jnp
 
     _, terr = se3.pose_distance(st2.kf_pose[:256], gt_poses)
     print(
@@ -310,51 +517,106 @@ def bench_global_ba(args):
     }
 
 
+def _emit(extras, budget=None):
+    line = {
+        "metric": "tracked_frames_per_sec_per_chip",
+        "value": extras["fps"],
+        "unit": "fps",
+        # Denominator = 30 fps ORB-SLAM-family CPU rate; reference
+        # itself unmeasured (mount empty) => this is a LOWER bound.
+        "vs_baseline": round(extras["fps"] / BASELINE_FPS, 3),
+        "baseline_note": "reference unmeasured (empty mount); "
+                         "denominator=30fps ORB-SLAM-family CPU rate",
+        **extras,
+    }
+    if budget is not None:
+        line["phases_skipped"] = budget.skipped
+        line["elapsed_s"] = round(time.perf_counter() - budget.t0, 1)
+    print(json.dumps(line), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=450)
-    ap.add_argument("--warmup-frames", type=int, default=None)
+    ap.add_argument("--warmup-frames", type=int, default=128)
     ap.add_argument("--ba-frames", type=int, default=400)
     ap.add_argument("--ba-points", type=int, default=50000)
+    ap.add_argument("--budget", type=float, default=480.0,
+                    help="wall-clock budget (s); phases are skipped when "
+                         "the remaining budget is below their estimate")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument("--no-stages", action="store_true")
     ap.add_argument("--no-global-ba", action="store_true")
     ap.add_argument("--no-tracked-ba", action="store_true")
+    ap.add_argument("--error-budget", action="store_true",
+                    help="run the FULL stride/noise accuracy sweep instead "
+                         "of the tracking benchmark (slow: recompiles per "
+                         "stride; intended for manual runs)")
     # Depth ships at stride 2 by default: depth is only ever sampled at
     # keypoint pixels, and the full 614 KB u16 map per frame makes the
-    # host->device link the bottleneck on a tunneled device (measured:
-    # 28 -> 61 fps; ATE cost of the <=1 px nearest-sample lookup is ~0.1 m
-    # on the noisy hall workload).  --depth-stride 1 restores full-res.
+    # host->device link the bottleneck on a tunneled device (28 -> 61 fps
+    # measured).  Since r4 the wire reduction is boundary-aware (medoid of
+    # each 2x2 block, never mixing surfaces — slam.depth_wire), closing
+    # the ~0.1 m ATE gap strided subsampling had (VERDICT r3 item 2); the
+    # README error-budget table holds the stride-1-vs-2 evidence.
     ap.add_argument("--depth-stride", type=int, default=2)
     args = ap.parse_args()
 
+    budget = Budget(args.budget)
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     print(f"[bench] device: {jax.devices()[0]}", file=sys.stderr)
 
-    extras = bench_tracking(args)
-    if not args.no_tracked_ba:
-        extras.update(bench_tracked_global_ba(args))
-    if not args.no_global_ba:
-        extras.update(bench_global_ba(args))
+    from boslam_tpu.io import synthetic
 
-    print(
-        json.dumps(
-            {
-                "metric": "tracked_frames_per_sec_per_chip",
-                "value": extras["fps"],
-                "unit": "fps",
-                # Denominator = 30 fps ORB-SLAM-family CPU rate; reference
-                # itself unmeasured (mount empty) => this is a LOWER bound.
-                "vs_baseline": round(extras["fps"] / BASELINE_FPS, 3),
-                "baseline_note": "reference unmeasured (empty mount); "
-                                 "denominator=30fps ORB-SLAM-family CPU rate",
-                **extras,
-            }
-        )
+    traj = synthetic.clover_trajectory(
+        args.frames, n_petals=3, radius=2.5, yaw_amplitude=0.4
     )
+
+    if args.error_budget:
+        out = bench_error_budget_full(args, budget, traj)
+        out["fps"] = 0.0
+        _emit(out, budget)
+        return
+
+    cfg = _tracking_cfg(args)
+    rf = RenderFeed(cfg, traj, depth_noise=0.025, seed=3, room_scale=2.5)
+    # Queue the extra renders now: they run on the render thread after the
+    # main sequence, overlapped with device warmup/passes.
+    rf.queue("noise0", cfg, traj, depth_noise=0.0, seed=3, room_scale=2.5)
+    if not args.no_tracked_ba:
+        from boslam_tpu.config import CameraConfig
+
+        tba_cam = CameraConfig(
+            fx=260.0, fy=260.0, cx=319.5, cy=239.5, depth_max=30.0
+        )
+        rf.queue(
+            "survey", cfg.replace(camera=tba_cam),
+            synthetic.survey_trajectory(args.ba_frames, span=6.0),
+            depth_noise=0.01, seed=5, room_scale=3.0,
+        )
+
+    extras, slam, frames = bench_tracking(args, budget, rf, traj)
+    # PRIMARY line: prints even if a later phase busts the driver window.
+    _emit(extras)
+
+    if not args.no_stages and budget.allow("stages", 100):
+        extras.update(bench_stages(args, slam, frames))
+    if budget.allow("error_budget_cheap", 50):
+        extras.update(
+            bench_error_budget_cheap(args, budget, rf, traj, cfg, frames)
+        )
+    if not args.no_global_ba and budget.allow("global_ba_50k", 80):
+        extras.update(bench_global_ba(args))
+    if not args.no_tracked_ba and budget.allow("tracked_ba", 260):
+        extras.update(bench_tracked_global_ba(args, budget, rf))
+
+    # FINAL line: strict superset of the primary line (drivers that parse
+    # the last JSON line get everything; ones that parse the first still
+    # get the primary metrics).
+    _emit(extras, budget)
 
 
 if __name__ == "__main__":

@@ -155,7 +155,22 @@ class LoopConfig:
     # regating; a weak (aliased-texture) candidate passes 3D RANSAC with
     # ~20 inliers but a genuine revisit yields 60+, so gate high.
     se3_inliers: int = 40
-    se3_threshold: float = 0.10    # metres, 3D alignment inlier radius
+    # The refined-inlier gate scales with the keypoint budget: effective
+    # gate = max(se3_inliers, se3_inlier_frac * n_features).  A genuine
+    # revisit matches a roughly constant FRACTION of the extracted
+    # keypoints, so a fixed count tuned at 256 features under-gates a
+    # 512-feature configuration (r4 finding: borderline 40-50-inlier
+    # closures at 512 features injected noisy edges, ATE 0.16 vs 0.10
+    # with the fraction gate).
+    se3_inlier_frac: float = 0.15
+    se3_threshold: float = 0.10    # metres, 3D alignment inlier radius floor
+    # Depth-adaptive inlier radius: RGBD depth noise grows with range, so a
+    # fixed 10 cm radius excludes every far correspondence in hall-scale
+    # scenes (at 2.5% sensor noise a 15 m point carries ~40 cm of 3D
+    # noise) — RANSAC then starves below se3_inliers and genuine revisits
+    # are rejected.  Effective radius per correspondence:
+    # max(se3_threshold, se3_rel_threshold * depth).
+    se3_rel_threshold: float = 0.04
     pg_iters: int = 12             # pose-graph GN iterations
     # Online vocabulary lifecycle: first trained once this many keyframes
     # exist, then retrained every vocab_refresh_kf NEW insertions so the

@@ -149,11 +149,19 @@ def verify_loop(cfg: SlamConfig, map_state, kf_cur, kf_cand, key):
     j = jnp.clip(idx, 0, N - 1)
     xc_cur = cam_mod.backproject(cam, map_state.kf_uv[kf_cur], z_cur)
     xc_cand = cam_mod.backproject(cam, map_state.kf_uv[kf_cand], z_cand)
+    # Depth-adaptive inlier radius (per correspondence): RGBD 3D noise
+    # grows with range, and a fixed radius starves RANSAC of far points in
+    # hall-scale scenes (r4 finding: genuine revisits with 60-80 refined
+    # pixel-GN inliers rejected because <40 far-depth correspondences fit
+    # inside 10 cm).
+    thr = jnp.maximum(lc.se3_threshold, lc.se3_rel_threshold * z_cur)
+    inl_gate = max(lc.se3_inliers,
+                   int(round(lc.se3_inlier_frac * cfg.orb.n_features)))
     res = ransac_se3(
         xc_cand[j], xc_cur, ok, key,
         n_hypotheses=cfg.tracker.ransac_iters,
-        threshold=lc.se3_threshold,
-        min_inliers=lc.se3_inliers,
+        threshold=thr,
+        min_inliers=inl_gate,
     )
     # Refine the RANSAC SE3 at pixel accuracy: robust GN on reprojection (+
     # depth) residuals of the matches (reference: SE3 solver then projection
@@ -169,5 +177,5 @@ def verify_loop(cfg: SlamConfig, map_state, kf_cur, kf_cand, key):
     # Descriptor-level candidate gate (config min_score_matches) + the GN
     # chi2 inlier gate: both must clear for the edge to enter the pose graph.
     enough_matches = jnp.sum(ok) >= lc.min_score_matches
-    good = res.ok & enough_matches & (refined.n_inliers >= lc.se3_inliers)
+    good = res.ok & enough_matches & (refined.n_inliers >= inl_gate)
     return good, refined.pose, refined.n_inliers, idx, refined.inliers & ok

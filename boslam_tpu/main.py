@@ -46,6 +46,14 @@ def main() -> None:
                          "parallel/distributed.py for the launch recipe")
     ap.add_argument("--viz", type=str, default=None,
                     help="render the final 3D map + trajectory to this PNG")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run local BA as a separate async device "
+                         "computation (the reference's mapping thread); "
+                         "keyframe frames pay only insert/fuse/cull")
+    ap.add_argument("--mapping-device", type=int, default=None,
+                    help="device index to run the async mapping solves on "
+                         "(true tracking/mapping overlap; implies "
+                         "--async-mapping)")
     ap.add_argument("--no-native-loader", action="store_true",
                     help="force the cv2 PNG decode path (default: the C++ "
                          "prefetching decoder when it builds/loads)")
@@ -125,7 +133,15 @@ def main() -> None:
                 f"pt={ba_mesh.shape['pt']} devices", file=sys.stderr,
             )
 
-    slam = SlamSystem(cfg, seed=args.seed, ba_mesh=ba_mesh)
+    import jax as _jax
+
+    mapping_device = (
+        _jax.devices()[args.mapping_device]
+        if args.mapping_device is not None else None
+    )
+    slam = SlamSystem(cfg, seed=args.seed, ba_mesh=ba_mesh,
+                      async_mapping=args.async_mapping,
+                      mapping_device=mapping_device)
     if args.resume:
         ckpt.restore(args.resume, slam)
         print(f"resumed from {args.resume}: {slam.n_keyframes} keyframes",

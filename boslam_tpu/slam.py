@@ -35,7 +35,9 @@ from boslam_tpu.loopclosure import (
     verify_loops_batch,
 )
 from boslam_tpu.mapping import empty_map, map_ops
-from boslam_tpu.solvers.local_ba import local_bundle_adjustment
+from boslam_tpu.solvers.local_ba import (
+    LocalBaStats, deferred_local_ba, local_bundle_adjustment, merge_local_ba,
+)
 from boslam_tpu.solvers.pose_graph import close_loop_update
 from boslam_tpu.tracking import init_track_state, relocalize, track_frame
 from boslam_tpu.tracking.tracker import ST_LOST, ST_OK, ST_UNINIT
@@ -130,7 +132,8 @@ OUT_DIM = 42
 
 
 def frame_step_core(cfg: SlamConfig, map_state,
-                    loop_state, track, key, img, depth_u16):
+                    loop_state, track, key, img, depth_u16,
+                    inline_ba: bool = True):
     """Process one RGBD frame fully on device (pure function).
 
     The single-sequence engine jits this as ``_fused_frame_step``; the
@@ -208,7 +211,17 @@ def frame_step_core(cfg: SlamConfig, map_state,
             st = map_ops.fuse_new_keyframe(cfg, st, kf_id)
             st = map_ops.refresh_point_model(cfg, st, kf_id)
             st = map_ops.cull_points(cfg, st, update_covis=False)
-            st, ba = local_bundle_adjustment(cfg, st, kf_id)
+            if inline_ba:
+                st, ba = local_bundle_adjustment(cfg, st, kf_id)
+            else:
+                # Async-mapping mode (SURVEY.md §2.3 PP row): the BA solve
+                # is dispatched by the HOST as a separate device call at the
+                # chunk flush and merged at the next one — the keyframe
+                # frame itself pays only insert/fuse/cull, like the
+                # reference's tracking thread.
+                z = jnp.zeros((), jnp.float32)
+                ba = LocalBaStats(z, z, jnp.zeros((), jnp.int32),
+                                  jnp.zeros((), jnp.int32))
             st, cull_info = map_ops.cull_one_keyframe(cfg, st)
             ls = compute_bow(cfg, ls, st, kf_id)
             ls, det = detect_loop(cfg, ls, st, kf_id)
@@ -272,8 +285,27 @@ def frame_step_core(cfg: SlamConfig, map_state,
 
 
 _fused_frame_step = functools.partial(
-    jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3, 4)
+    jax.jit, static_argnums=(0, 7), donate_argnums=(1, 2, 3, 4)
 )(frame_step_core)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _merge_ba_and_reanchor(cfg: SlamConfig, map_state, track, res):
+    """Apply one deferred local-BA result and re-anchor the live tracker
+    pose to its reference keyframe's REFINED pose (the inline path gets
+    this for free by setting pose_cw from the post-BA keyframe; without it
+    the tracker keeps integrating from pre-BA geometry)."""
+    from boslam_tpu.mapping.map_state import latest_kf_slot
+
+    ref = latest_kf_slot(map_state)
+    t_cur_ref = se3.pose_compose(
+        track.pose_cw, se3.pose_inv(map_state.kf_pose[ref])
+    )
+    new_map = merge_local_ba(cfg, map_state, res)
+    track = track._replace(
+        pose_cw=se3.pose_compose(t_cur_ref, new_map.kf_pose[ref])
+    )
+    return new_map, track
 
 
 class SlamSystem:
@@ -286,9 +318,25 @@ class SlamSystem:
     """
 
     def __init__(self, cfg: SlamConfig, seed: int = 0, chunk: int = 16,
-                 ba_mesh=None):
+                 ba_mesh=None, async_mapping: bool = False,
+                 mapping_device=None):
         self.cfg = cfg
         self.chunk = max(1, int(chunk))
+        # Async mapping (reference's local-mapping THREAD, SURVEY.md §3.3):
+        # the keyframe event in the fused step does insert/fuse/cull only;
+        # the local-BA solve is dispatched as a SEPARATE device computation
+        # at the chunk flush and merged (guarded per-entry) at the next one,
+        # so tracking frames never serialize behind the solve.  With
+        # ``mapping_device`` the solves run on ANOTHER device entirely
+        # (true tracking/mapping overlap — two in-flight computations).
+        # Trade-off on a single chip: the device stream is serial, so async
+        # mode reorders rather than removes the BA cost; it smooths
+        # keyframe-frame latency for real-time feeds (BA fills inter-frame
+        # idle gaps) at the price of tracking against a map whose BA
+        # refinement lands up to two chunks late (~1-2 mm ATE on the orbit
+        # fixture).  Default is the fully-fused inline path.
+        self.async_mapping = bool(async_mapping) or mapping_device is not None
+        self.mapping_device = mapping_device
         # Optional jax.sharding.Mesh with a 'pt' axis: global BA (the loop-
         # closure hook and run_global_ba) runs landmark-sharded over it
         # (parallel/sharded_global_ba) instead of single-device.
@@ -307,7 +355,11 @@ class SlamSystem:
         self.cull_chain: dict = {}
         self.metrics: List[dict] = []
         self.n_loops_closed = 0
+        self.n_global_ba = 0
         self._vocab_trained_at = -1  # n_kf at last vocabulary (re)train
+        # In-flight deferred local BA: (result, n_loops_closed at dispatch,
+        # n_global_ba at dispatch, triggering keyframe's metric rec).
+        self._pending_ba = None
         self._pending_rows: List[jnp.ndarray] = []
         self._pending_ts: List[float] = []
         self._pending_t0: List[float] = []
@@ -340,6 +392,7 @@ class SlamSystem:
         d16 = jnp.asarray(np.ascontiguousarray(depth))
         self.map, self.loop, self.track, self.key, row = _fused_frame_step(
             self.cfg, self.map, self.loop, self.track, self.key, img, d16,
+            not self.async_mapping,
         )
         # Start the D2H copy of the stats row NOW, without blocking: by
         # flush() time the bytes have already crossed the tunnel, so the
@@ -355,13 +408,19 @@ class SlamSystem:
     def flush(self) -> None:
         """Drain pending frames: ONE packed readback, then host events."""
         if not self._pending_rows:
+            self._merge_pending_ba()  # end-of-stream: land the last solve
             return
         rows = np.stack([np.asarray(r) for r in self._pending_rows])
         ts_list, t0_list = self._pending_ts, self._pending_t0
         self._pending_rows, self._pending_ts, self._pending_t0 = [], [], []
         t_drain = time.perf_counter()
 
+        # Land the PREVIOUS flush's deferred BA before anything reads poses
+        # this drain (loop verification must see the refined window).
+        self._merge_pending_ba()
+
         loop_requests = []  # (kf_id, cand) — try in order, one CLOSURE per drain
+        kf_recs = []        # keyframe events this drain (async-mapping queue)
         for ts, t0, r in zip(ts_list, t0_list, rows):
             self.timestamps.append(ts)
             self.poses_twc.append(r[O_POSE0:O_POSE0 + 7].copy())
@@ -396,6 +455,8 @@ class SlamSystem:
                     ba_cost1=float(r[O_BA1]),
                     ba_edges=int(r[O_BAE]),
                 )
+                if kf_id > 0:
+                    kf_recs.append((kf_id, rec))
                 if r[O_LCAND] >= 0:
                     rec["loop_candidate"] = int(r[O_LCAND])
                     rec["loop_score"] = float(r[O_LSCORE])
@@ -424,6 +485,59 @@ class SlamSystem:
         # verify_loops_batch), then run at most one pose-graph CORRECTION —
         # later requests reference the pre-correction map.
         self._verify_and_close(loop_requests)
+
+        # Dispatch the deferred local BAs LAST, so they solve on the
+        # loop-corrected map.  One solve per keyframe event (the inline
+        # path's frequency), chained through a SHADOW map so each solve
+        # sees its predecessor's refinement; all results land in the live
+        # map at the NEXT flush, while the next chunk's tracking frames are
+        # dispatched without waiting on them.
+        if self.async_mapping and kf_recs:
+            shadow = self.map
+            if self.mapping_device is not None:
+                # The reference's mapping THREAD as a second device: the
+                # solve chain runs there while this device keeps tracking.
+                shadow = jax.device_put(shadow, self.mapping_device)
+            resses = []
+            for kf_id, rec in kf_recs:
+                res = deferred_local_ba(
+                    self.cfg, shadow, jnp.asarray(kf_id, jnp.int32)
+                )
+                shadow = merge_local_ba(self.cfg, shadow, res)
+                if self.mapping_device is not None:
+                    res = jax.device_put(res, jax.devices()[0])
+                jax.tree.map(lambda a: a.copy_to_host_async(), res.stats)
+                resses.append((res, rec))
+            self._pending_ba = (resses, self.n_loops_closed,
+                                self.n_global_ba)
+
+    # ------------------------------------------------------------------
+    def _merge_pending_ba(self) -> None:
+        """Land the in-flight deferred local BAs into the current map.
+
+        Dropped wholesale if a loop closure or global BA ran since the
+        dispatch — those moved the whole trajectory, and stale local poses
+        would partially revert the correction (the reference pauses its
+        mapping thread across loop correction for the same reason).
+        Per-entry staleness (culled/reused slots) is handled inside
+        ``merge_local_ba`` by the seq/gen guards."""
+        if self._pending_ba is None:
+            return
+        resses, loops0, gba0 = self._pending_ba
+        self._pending_ba = None
+        if self.n_loops_closed != loops0 or self.n_global_ba != gba0:
+            for _, rec in resses:
+                rec["ba_dropped"] = True
+            return
+        for res, rec in resses:
+            self.map, self.track = _merge_ba_and_reanchor(
+                self.cfg, self.map, self.track, res
+            )
+            rec.update(
+                ba_cost0=float(res.stats.cost0),
+                ba_cost1=float(res.stats.cost1),
+                ba_edges=int(res.stats.n_edges),
+            )
 
     # ------------------------------------------------------------------
     # Max consistent candidates verified per drain; extras are dropped
@@ -536,6 +650,7 @@ class SlamSystem:
             pose_cw=se3.pose_compose(t_cur_ref, self.map.kf_pose[ref]),
             velocity=se3.pose_identity(),
         )
+        self.n_global_ba += 1
         rec = {
             "gba_cost0": cost0,
             "gba_cost1": cost1,
@@ -557,6 +672,7 @@ class SlamSystem:
         poses recorded at cull time — the reference's erased-keyframe Tcp
         mechanism; only an unresolvable chain falls back to the raw pose."""
         self.flush()
+        self._merge_pending_ba()  # that flush may have JUST dispatched one
         ts = np.asarray(self.timestamps)
         raw = np.stack(self.poses_twc)
         if len(self.frame_refs) != len(self.poses_twc):
@@ -585,9 +701,10 @@ def run_sequence(
     seed: int = 0,
     progress: bool = False,
     chunk: int = 16,
+    async_mapping: bool = False,
 ) -> SlamSystem:
     """Run the engine over an iterable of (ts, rgb, depth)."""
-    slam = SlamSystem(cfg, seed=seed, chunk=chunk)
+    slam = SlamSystem(cfg, seed=seed, chunk=chunk, async_mapping=async_mapping)
     for i, (ts, rgb, depth) in enumerate(frames):
         slam.feed(ts, rgb, depth)
         if progress and i % 25 == 0 and slam.metrics:

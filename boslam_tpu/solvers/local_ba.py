@@ -260,9 +260,12 @@ def _lm_solve_step(cfg: SlamConfig, poses, pts, edges: DenseEdges,
     return jnp.where(finite, dxi, 0.0), jnp.where(finite, dpt, 0.0)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def local_bundle_adjustment(cfg: SlamConfig, state: MapState, center):
-    """Run local BA around keyframe ``center``; returns (MapState, stats)."""
+def _solve_local_ba(cfg: SlamConfig, state: MapState, center):
+    """Shared solve core: build the window problem around ``center`` and run
+    the LM/GN loop.  Returns (opt_ids [KO], opt_cam_mask, opt_poses [KO, 7],
+    local_ids [L], slot_used, pts [L, 3], stats) — the write-back is left to
+    the caller (immediate for the inline path, guarded-merge for the
+    deferred/asynchronous mapping path)."""
     lb = cfg.local_ba
     KO = lb.n_opt_kf
     P = state.pt_xyz.shape[0]
@@ -310,19 +313,114 @@ def local_bundle_adjustment(cfg: SlamConfig, state: MapState, center):
 
     cost1 = _dense_cost(cfg, poses, pts, edges, lb.huber_delta)
 
-    # Write back optimized cameras and points.
-    opt_ids = cam_ids[:KO]
-    kf_pose = state.kf_pose.at[
-        jnp.where(opt_cam_mask, opt_ids, state.kf_pose.shape[0])
-    ].set(poses[:KO], mode="drop")
-    pt_xyz = state.pt_xyz.at[jnp.where(slot_used, local_ids, P)].set(
-        pts, mode="drop"
-    )
-    new_state = state._replace(kf_pose=kf_pose, pt_xyz=pt_xyz)
     stats = LocalBaStats(
         cost0=cost0,
         cost1=cost1,
         n_edges=jnp.sum(edges.valid),
         n_points=jnp.sum(slot_used),
     )
-    return new_state, stats
+    return (
+        cam_ids[:KO], opt_cam_mask, poses[:KO], local_ids, slot_used, pts,
+        stats,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def local_bundle_adjustment(cfg: SlamConfig, state: MapState, center):
+    """Run local BA around keyframe ``center``; returns (MapState, stats).
+
+    The INLINE path: solve and write back in one program (used inside the
+    fused frame step's keyframe event and by the batched multi-sequence
+    engine)."""
+    P = state.pt_xyz.shape[0]
+    opt_ids, opt_cam_mask, opt_poses, local_ids, slot_used, pts, stats = (
+        _solve_local_ba(cfg, state, center)
+    )
+    kf_pose = state.kf_pose.at[
+        jnp.where(opt_cam_mask, opt_ids, state.kf_pose.shape[0])
+    ].set(opt_poses, mode="drop")
+    pt_xyz = state.pt_xyz.at[jnp.where(slot_used, local_ids, P)].set(
+        pts, mode="drop"
+    )
+    return state._replace(kf_pose=kf_pose, pt_xyz=pt_xyz), stats
+
+
+class DeferredBaResult(NamedTuple):
+    """Output of an asynchronous local-BA dispatch (the reference's
+    local-mapping THREAD, SURVEY.md §3.3, expressed as a second in-flight
+    device computation): optimized poses/points plus the identity guards
+    needed to merge them into a map that has advanced since the snapshot.
+
+    Guards: ``opt_seq`` is kf_seq at snapshot time (keyframe slots are
+    free-list reused after culls — a changed seq means a DIFFERENT keyframe
+    now lives in the slot); ``pt_gen`` is pt_first_kf (monotonic n_kf at
+    point creation) which uniquely identifies a point slot's tenant."""
+
+    opt_ids: jnp.ndarray    # [KO] i32 optimized keyframe slots
+    opt_mask: jnp.ndarray   # [KO] bool
+    opt_pose: jnp.ndarray   # [KO, 7] optimized T_cw
+    opt_seq: jnp.ndarray    # [KO] i32 kf_seq guard
+    pt_ids: jnp.ndarray     # [L] i32 global point slots
+    pt_used: jnp.ndarray    # [L] bool
+    pt_xyz: jnp.ndarray     # [L, 3] optimized positions
+    pt_gen: jnp.ndarray     # [L] i32 pt_first_kf guard
+    stats: LocalBaStats
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def deferred_local_ba(cfg: SlamConfig, state: MapState, center):
+    """Solve local BA around ``center`` WITHOUT writing back: the host
+    dispatches this asynchronously at a chunk flush and merges the result
+    into the (by then advanced) map at the next flush via
+    ``merge_local_ba`` — tracking frames in between run against the pre-BA
+    map, exactly the reference's concurrent mapping-thread semantics
+    (SURVEY.md §2.3 PP row, §3.3)."""
+    P = state.pt_xyz.shape[0]
+    opt_ids, opt_cam_mask, opt_poses, local_ids, slot_used, pts, stats = (
+        _solve_local_ba(cfg, state, center)
+    )
+    ids_c = jnp.clip(local_ids, 0, P - 1)
+    return DeferredBaResult(
+        opt_ids=opt_ids,
+        opt_mask=opt_cam_mask,
+        opt_pose=opt_poses,
+        opt_seq=state.kf_seq[opt_ids],
+        pt_ids=local_ids,
+        pt_used=slot_used,
+        pt_xyz=pts,
+        pt_gen=state.pt_first_kf[ids_c],
+        stats=stats,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def merge_local_ba(cfg: SlamConfig, state: MapState,
+                   res: DeferredBaResult) -> MapState:
+    """Merge a deferred local-BA result into the CURRENT map.
+
+    Every write is guarded per entry: a keyframe pose lands only if the
+    slot still holds the same keyframe (kf_seq match, still valid); a point
+    position lands only if the slot still holds the same point
+    (pt_first_kf match, still valid).  Entries culled or slot-reused since
+    the snapshot are silently skipped — the reference's mapping thread
+    drops updates for erased map entities the same way."""
+    K = state.kf_pose.shape[0]
+    P = state.pt_xyz.shape[0]
+    kf_ok = (
+        res.opt_mask
+        & state.kf_valid[res.opt_ids]
+        & (state.kf_seq[res.opt_ids] == res.opt_seq)
+    )
+    kf_pose = state.kf_pose.at[jnp.where(kf_ok, res.opt_ids, K)].set(
+        res.opt_pose, mode="drop"
+    )
+    ids_c = jnp.clip(res.pt_ids, 0, P - 1)
+    pt_ok = (
+        res.pt_used
+        & state.pt_valid[ids_c]
+        & (state.pt_first_kf[ids_c] == res.pt_gen)
+    )
+    pt_xyz = state.pt_xyz.at[jnp.where(pt_ok, res.pt_ids, P)].set(
+        res.pt_xyz, mode="drop"
+    )
+    return state._replace(kf_pose=kf_pose, pt_xyz=pt_xyz)

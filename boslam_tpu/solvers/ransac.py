@@ -128,7 +128,8 @@ def ransac_se3(
       src, dst: [N, 3] corresponding points (masked).
       mask: [N] bool valid correspondences.
       key: PRNG key.
-      threshold: inlier 3D distance bound (metres).
+      threshold: inlier 3D distance bound (metres) — scalar or [N]
+        per-correspondence radii (e.g. depth-adaptive for RGBD noise).
 
     All hypotheses are evaluated in parallel with vmap; the winner is refined
     by one weighted Umeyama on its inliers.

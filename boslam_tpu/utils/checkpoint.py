@@ -23,6 +23,9 @@ def save(path: str, slam) -> None:
     """Snapshot a SlamSystem's device state + host trajectory."""
     import orbax.checkpoint as ocp
 
+    slam.flush()
+    if hasattr(slam, "_merge_pending_ba"):
+        slam._merge_pending_ba()  # land an in-flight async local BA
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     state = {

@@ -104,7 +104,7 @@ def test_batched_engine_matches_single_engine():
         )
         frames = synthetic.render_sequence(CAM, traj)
         frame_lists.append(frames)
-        single.append(run_sequence(cfg, frames))
+        single.append(run_sequence(cfg, frames, async_mapping=False))
 
     eng = run_sequences(cfg, frame_lists, mesh=seq_mesh(2))
     for s in range(2):
@@ -169,7 +169,7 @@ def test_batched_engine_depth_stride_matches_single_engine():
         traj = synthetic.orbit_trajectory(6, radius=0.25 + 0.05 * seed)
         frames = synthetic.render_sequence(CAM, traj)
         frame_lists.append(frames)
-        single.append(run_sequence(cfg, frames))
+        single.append(run_sequence(cfg, frames, async_mapping=False))
 
     eng = run_sequences(cfg, frame_lists, mesh=seq_mesh(2))
     for s in range(2):
@@ -266,7 +266,7 @@ def test_batched_engine_unequal_lengths():
         )
         frames = synthetic.render_sequence(CAM, traj)
         frame_lists.append(frames)
-        single.append(run_sequence(cfg, frames))
+        single.append(run_sequence(cfg, frames, async_mapping=False))
 
     eng = run_sequences(cfg, frame_lists, mesh=seq_mesh(2))
     for s in range(2):

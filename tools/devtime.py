@@ -74,12 +74,12 @@ def main():
     # sync via a VALUE READ (block_until_ready does not reliably include
     # the ~25 ms tunnel RTT), salt the inputs, and report the DIFFERENCE
     # between scan lengths N and 2N so constant overhead cancels.
-    def make_chain(length):
+    def make_chain(length, inline_ba=True):
         def chained(ms0, ls0, tr0, key0, img, d16, salt):
             def body(carry, _):
                 ms, ls, tr, key = carry
                 ms, ls, tr, key, row = frame_step_core(
-                    cfg, ms, ls, tr, key, img, d16)
+                    cfg, ms, ls, tr, key, img, d16, inline_ba)
                 return (ms, ls, tr, key), row[8]
 
             carry, outs = jax.lax.scan(
@@ -99,19 +99,32 @@ def main():
         key = jnp.copy(slam.key)
         return float(jc(ms, ls, tr, key, img, d16, salt))
 
-    walls = {}
-    for length in (args.scan_len, 2 * args.scan_len):
-        jc = make_chain(length)
-        run_chain(jc, np.float32(0))  # compile
-        ts = []
-        for i in range(5):
-            t0 = time.perf_counter()
-            run_chain(jc, np.float32(length * 131 + i + 1))
-            ts.append((time.perf_counter() - t0) * 1e3)
-        walls[length] = float(np.median(ts))
-    dev_ms = (walls[2 * args.scan_len] - walls[args.scan_len]) / args.scan_len
+    def chain_ms(inline_ba):
+        walls = {}
+        for length in (args.scan_len, 2 * args.scan_len):
+            jc = make_chain(length, inline_ba)
+            run_chain(jc, np.float32(0))  # compile
+            ts = []
+            for i in range(5):
+                t0 = time.perf_counter()
+                run_chain(jc, np.float32(length * 131 + i + 1))
+                ts.append((time.perf_counter() - t0) * 1e3)
+            walls[length] = float(np.median(ts))
+        return (walls[2 * args.scan_len] - walls[args.scan_len]) / args.scan_len
+
+    dev_ms = chain_ms(True)
     print(f"device fused-step (scan {args.scan_len}/{2*args.scan_len} diff):"
           f" {dev_ms:7.3f} ms/frame", flush=True)
+    # Async-mapping mode (SlamSystem async_mapping=True): the keyframe
+    # event pays insert/fuse/cull only — the BA solve runs as a separate
+    # host-dispatched computation (or on a second device).  The difference
+    # vs the inline chain is the per-frame latency the mapping THREAD
+    # removes from the tracking path (VERDICT r3 item 3 "Done" criterion:
+    # keyframe-frame latency ~ tracking-only latency).
+    dev_ms_async = chain_ms(False)
+    print(f"device fused-step (async mapping): {dev_ms_async:7.3f} ms/frame "
+          f"(keyframe frames no longer carry the "
+          f"{dev_ms - dev_ms_async:.3f} ms inline-BA share)", flush=True)
 
     # ---- 1b. per-stage device time, same scan technique -----------------
     # Full-sum accumulators over EVERY output leaf + the accumulator feeds
