@@ -35,6 +35,7 @@ def _ate(slam, traj):
     return float(rmse)
 
 
+@pytest.mark.slow
 def test_async_mapping_trajectory_parity(orbit_frames):
     """Async mode tracks the inline path within tolerance: the BA solves
     land up to two chunks late, so a small accuracy cost is expected, but
@@ -112,6 +113,7 @@ def test_pending_dropped_after_loop_closure(orbit_frames):
     assert all(rec.get("ba_dropped") for rec in recs)
 
 
+@pytest.mark.slow
 def test_mapping_on_second_device(orbit_frames):
     """With ``mapping_device`` the solve chain runs on another device (true
     tracking/mapping overlap); results must match same-device async mode."""

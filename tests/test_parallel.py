@@ -89,6 +89,7 @@ CAM = CameraConfig(width=160, height=120, fx=70.0, fy=70.0, cx=80.0, cy=60.0)
 DP_CFG = SlamConfig(camera=CAM, orb=OrbConfig(n_features=128, n_levels=3))
 
 
+@pytest.mark.slow
 def test_batched_engine_matches_single_engine():
     """BatchedSlamSystem (config 5: whole fused frame step shard_mapped over
     'seq') reproduces the single-sequence engine's trajectories."""
@@ -152,6 +153,7 @@ def test_distributed_global_ba_matches_single(rng):
     assert perr.max() < 5e-3
 
 
+@pytest.mark.slow
 def test_batched_engine_depth_stride_matches_single_engine():
     """With depth_wire_stride > 1 the batched feed must subsample depth the
     same way the single engine does — full-res depth would be indexed at
@@ -214,6 +216,7 @@ def test_distributed_runtime_smoke():
     assert "DIST_OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_cli_distributed_global_ba(tmp_path):
     """--distributed routes the exit global BA through the landmark-sharded
     solver over the 8-device CPU mesh (VERDICT r2 item 2: distributed GBA
