@@ -25,7 +25,10 @@ from boslam_tpu.geometry import se3
 from boslam_tpu.mapping.map_state import MapState
 from boslam_tpu.solvers import ba_core
 from boslam_tpu.solvers.ba_core import BaEdges
-from boslam_tpu.solvers.global_ba import _inv6x6, _pcg, build_global_edges
+from boslam_tpu.solvers.global_ba import (
+    _inv6x6, _pcg, _point_schedule, _point_sum, _point_sum_sorted,
+    build_global_edges,
+)
 from boslam_tpu.parallel.sharded_ba import shard_edges_by_point, stripe_points
 
 
@@ -43,6 +46,10 @@ def make_sharded_global_ba(cfg: SlamConfig, mesh: Mesh, lm_iters: int,
     def body(poses, opt_cam_mask, pts, edges):
         C = poses.shape[0]
         Pl = pts.shape[0]  # local landmark count
+        # Shard-local point-reduction schedule (one argsort per solve):
+        # the point side then runs scatter-free as sorted cumsum + boundary
+        # gathers, exactly like the single-device solver.
+        sched = _point_schedule(edges, Pl)
 
         def cost_of(poses, pts):
             return jax.lax.psum(
@@ -61,7 +68,6 @@ def make_sharded_global_ba(cfg: SlamConfig, mesh: Mesh, lm_iters: int,
             wJc = w[:, None, None] * Jc
             wJp = w[:, None, None] * J_pt
             seg_c = jnp.where(edges.valid, edges.cam, C)
-            seg_p = jnp.where(edges.valid, edges.pt, Pl)
             Hcc = jax.ops.segment_sum(
                 jnp.einsum("eri,erj->eij", Jc, wJc), seg_c, num_segments=C + 1
             )[:C]
@@ -71,14 +77,15 @@ def make_sharded_global_ba(cfg: SlamConfig, mesh: Mesh, lm_iters: int,
             )[:C]
             # THE collective: camera-side normal equations over ICI.
             Hcc, bc = jax.lax.psum((Hcc, bc), "pt")
-            Hpp = jax.ops.segment_sum(
-                jnp.einsum("eri,erj->eij", J_pt, wJp), seg_p,
-                num_segments=Pl + 1,
-            )[:Pl]
-            bp = jax.ops.segment_sum(
-                -jnp.einsum("eri,er->ei", J_pt, w[:, None] * r), seg_p,
-                num_segments=Pl + 1,
-            )[:Pl]
+            Hpp = _point_sum(
+                sched, jnp.einsum("eri,erj->eij", J_pt, wJp)
+            )
+            bp = -_point_sum(sched, jnp.einsum("eri,er->ei", J_pt,
+                                               w[:, None] * r))
+            # Sorted-order copies for the CG matvecs.
+            Jp_s = J_pt[sched.perm]
+            Jc_s = Jc[sched.perm]
+            w_s = w[sched.perm]
 
             eye3 = jnp.eye(3)
             Hpp_d = Hpp + lam * (
@@ -94,24 +101,33 @@ def make_sharded_global_ba(cfg: SlamConfig, mesh: Mesh, lm_iters: int,
                 )[..., None, :]
             ) + 1e-7 * eye6
 
+            seg_c_s = seg_c[sched.perm]
+
             def cam_reduce(z):
-                """W^T z gathered to camera space, psum'd: [C, 6] partial."""
-                ze = z[edges.pt]
-                v = jnp.einsum("erj,ej->er", J_pt, ze) * w[:, None]
-                v = jnp.einsum("er,eri->ei", v, Jc)
-                part = jax.ops.segment_sum(v, seg_c, num_segments=C + 1)[:C]
+                """W^T z gathered to camera space, psum'd: [C, 6] partial.
+                Runs in SORTED edge order (the z gather is then contiguous
+                per point)."""
+                ze = z[jnp.clip(sched.pt_sorted, 0, Pl - 1)]
+                ze = jnp.where((sched.pt_sorted < Pl)[:, None], ze, 0.0)
+                v = jnp.einsum("erj,ej->er", Jp_s, ze) * w_s[:, None]
+                v = jnp.einsum("er,eri->ei", v, Jc_s)
+                part = jax.ops.segment_sum(v, seg_c_s, num_segments=C + 1)[:C]
                 return jax.lax.psum(part, "pt")
 
             zb = jnp.einsum("pst,pt->ps", Hpp_inv, bp)
             b_s = (bc - cam_reduce(zb)) * opt_cam_mask[:, None]
             Minv = _inv6x6(Hcc_d)
 
-            def mv(x):
-                x = x * opt_cam_mask[:, None]
+            def point_half(x):
+                """t = sum_e W_e^T x_cam(e) per local point (scatter-free)."""
                 xc = x[edges.cam]
                 u = jnp.einsum("eri,ei->er", Jc, xc) * w[:, None]
                 u = jnp.einsum("er,erj->ej", u, J_pt)
-                t = jax.ops.segment_sum(u, seg_p, num_segments=Pl + 1)[:Pl]
+                return _point_sum(sched, u)
+
+            def mv(x):
+                x = x * opt_cam_mask[:, None]
+                t = point_half(x)
                 z = jnp.einsum("pst,pt->ps", Hpp_inv, t)
                 y_cross = cam_reduce(z)
                 y_diag = jnp.einsum("cij,cj->ci", Hcc_d, x)
@@ -120,10 +136,7 @@ def make_sharded_global_ba(cfg: SlamConfig, mesh: Mesh, lm_iters: int,
 
             dxi = _pcg(mv, b_s, Minv, cg_iters) * opt_cam_mask[:, None]
             # Landmark back-substitution stays shard-local.
-            xc = dxi[edges.cam]
-            u = jnp.einsum("eri,ei->er", Jc, xc) * w[:, None]
-            u = jnp.einsum("er,erj->ej", u, J_pt)
-            t = jax.ops.segment_sum(u, seg_p, num_segments=Pl + 1)[:Pl]
+            t = point_half(dxi)
             dpt = jnp.einsum("pst,pt->ps", Hpp_inv, bp - t)
 
             new_poses = se3.retract(poses, dxi)

@@ -115,6 +115,7 @@ def test_batched_engine_matches_single_engine():
         assert eng.n_keyframes(s) == single[s].n_keyframes
 
 
+@pytest.mark.slow
 def test_distributed_global_ba_matches_single(rng):
     """Distributed global BA on a LIVE tracked map (edges sharded over 'pt',
     psum Schur) matches the single-device solver (VERDICT r1 item 1: real
