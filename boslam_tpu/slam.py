@@ -15,6 +15,13 @@ Rare, host-mediated events (one-time vocabulary training, loop-closure
 verification + pose-graph correction) are triggered from the drained chunk
 stats — the same asynchronous, delayed semantics as the reference's
 loop-closing worker thread (§3.4).
+
+Async local mapping (``SlamSystem(async_mapping=True)`` or
+``mapping_device=``) re-creates the reference's local-mapping THREAD
+(§3.3): the keyframe event pays insert/fuse/cull only, and the local-BA
+solve runs as a separate in-flight device computation merged at the next
+flush under per-entry identity guards (solvers/local_ba.deferred_local_ba /
+merge_local_ba).
 """
 
 from __future__ import annotations
