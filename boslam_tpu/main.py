@@ -179,11 +179,15 @@ def main() -> None:
         import jax.numpy as jnp
 
         if args.synthetic:
-            gt_assoc, mask = gt[1], np.ones(len(ts_arr), bool)
+            # A resumed run's pose history is longer than one groundtruth
+            # pass; evaluate over the overlapping prefix.
+            n = min(len(ts_arr), len(gt[1]))
+            gt_assoc, mask, poses_eval = gt[1][:n], np.ones(n, bool), poses[:n]
         else:
             gt_assoc, mask = tum.associate_groundtruth(ts_arr, gt[0], gt[1])
+            poses_eval = poses
         rmse, _ = align.ate_rmse(
-            jnp.asarray(poses[:, 4:]), jnp.asarray(gt_assoc[:, 4:]),
+            jnp.asarray(poses_eval[:, 4:]), jnp.asarray(gt_assoc[:, 4:]),
             jnp.asarray(mask.astype(np.float32)),
         )
         summary["ate_rmse_m"] = float(rmse)
