@@ -300,14 +300,19 @@ def bench_tracking(args, budget, rf, traj):
 
     fps_batch_runs = []
     for i in range(2):
-        if budget.remaining() < 45:
+        # First pass needs generous headroom (batch mode loses to streaming
+        # whenever the tunnel is bandwidth-bound, so the later phases matter
+        # more); the second runs only if the first was competitive.
+        if budget.remaining() < (150 if i == 0 else 60) or (
+            i == 1 and fps_batch_runs[0] < 0.9 * fps
+        ):
             budget.skipped.append(f"fps_batch_pass_{i}")
             break
         t0 = time.perf_counter()
         slam_b = run_sequence(cfg, frames, batch=BATCH)
         fps_batch_runs.append(len(frames) / (time.perf_counter() - t0))
     fps_batch = float(np.median(fps_batch_runs)) if fps_batch_runs else 0.0
-    if fps_batch_runs:
+    if fps_batch_runs and fps_batch >= fps:
         slam = slam_b  # same trajectory (equivalence-tested); freshest state
 
     rmse = _ate(slam, traj)
