@@ -243,6 +243,28 @@ def _tracking_cfg(args):
     )
 
 
+def _h2d_bandwidth_mbps(reps: int = 3) -> float:
+    """Measured host->device bandwidth (MB/s) of an 8 MB transfer.
+
+    In a healthy state the tunnel moves 460+ MB/s and the wall fps is
+    device-compute-bound; when the remote link degrades, fps collapses
+    with it (22 vs 54 fps observed on identical code).  Recording the
+    measured bandwidth next to fps makes a low-fps run self-diagnosing."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.random.default_rng(0).integers(
+        0, 255, (8 << 20,), dtype=np.uint8
+    )
+    jax.block_until_ready(jnp.asarray(buf))  # warm the path
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jnp.asarray(buf))
+        ts.append(time.perf_counter() - t0)
+    return buf.nbytes / (1 << 20) / float(np.median(ts))
+
+
 def bench_tracking(args, budget, rf, traj):
     cfg = rf.cfg
 
@@ -282,6 +304,9 @@ def bench_tracking(args, budget, rf, traj):
     # device's wire bandwidth swings >2x between runs (measured 28..81 fps
     # on identical code), so a single pass mostly measures the tunnel's
     # mood, and best-of-N would inflate the headline (ADVICE r3).
+    bw = _h2d_bandwidth_mbps()
+    print(f"[bench] tunnel H2D bandwidth: {bw:.1f} MB/s", file=sys.stderr)
+
     fps_runs = []
     for i in range(3):
         if i > 0 and budget.remaining() < 60:
@@ -342,6 +367,9 @@ def bench_tracking(args, budget, rf, traj):
         "loop_edges": int(slam.map.n_loop_edges),
         "lost_frames": n_lost,
         "depth_wire_stride": cfg.camera.depth_wire_stride,
+        # Wire context for the wall fps: ~0.46 MB/frame H2D, so the
+        # tunnel-bound fps ceiling is roughly h2d_mbps / 0.46.
+        "h2d_mbps": round(bw, 1),
     }
     return extras, slam, frames
 

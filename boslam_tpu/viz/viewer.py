@@ -50,8 +50,9 @@ def render_map(map_state, trajectory=None, out_path: str = "map.png",
     if len(p) > max_points:
         p = p[:: len(p) // max_points + 1]
     if len(p):
-        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=0.5, c=p[:, 2],
-                   cmap="viridis", alpha=0.5, linewidths=0)
+        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=2.0, c=p[:, 2],
+                   cmap="viridis", alpha=0.85, linewidths=0,
+                   label="map points")
     if kv.any():
         kf_twc = np.asarray(se3.pose_inv(jnp.asarray(kf_pose[kv])))
         ax.scatter(kf_twc[:, 4], kf_twc[:, 5], kf_twc[:, 6], s=25,
