@@ -393,6 +393,13 @@ class SlamSystem:
         # In-flight deferred local BA: (result, n_loops_closed at dispatch,
         # n_global_ba at dispatch, triggering keyframe's metric rec).
         self._pending_ba = None
+        # In-flight loop verification batch (resolved at the NEXT flush so
+        # the frame path never blocks on its readback) + a host-side mirror
+        # of each keyframe slot's current seq (maintained from the packed
+        # rows: inserts and culls) used to guard stale closures without a
+        # device read.
+        self._pending_verify = None
+        self._kf_seq_host: dict = {}
         self._pending_rows: List[jnp.ndarray] = []
         self._pending_ts: List[float] = []
         self._pending_t0: List[float] = []
@@ -482,7 +489,9 @@ class SlamSystem:
     def flush(self) -> None:
         """Drain pending frames: ONE packed readback, then host events."""
         if not self._pending_rows:
-            self._merge_pending_ba()  # end-of-stream: land the last solve
+            # End-of-stream: land the last solve + close the last loop.
+            self._merge_pending_ba()
+            self._resolve_pending_verify()
             return
         # Entries are [OUT_DIM] rows (feed) or [k, OUT_DIM] blocks
         # (feed_batch).
@@ -510,6 +519,7 @@ class SlamSystem:
                     int(r[O_CULL0 + 2]), int(r[O_CULL0 + 3]),
                     r[O_CULL0 + 4:O_CULL0 + 11].copy(),
                 )
+                self._kf_seq_host[int(r[O_CULL0])] = None  # slot vacated
             rec = {
                 "ts": ts,
                 "status": int(r[O_STATUS]),
@@ -526,6 +536,9 @@ class SlamSystem:
                 rec["event"] = "lost"
             elif r[O_KF] > 0.5:
                 kf_id = int(r[O_KFID])
+                # Mirror the slot's new tenant (seq assigned at insert =
+                # monotonic n_kf before the increment the row reports).
+                self._kf_seq_host[kf_id] = int(r[O_NKF]) - 1
                 rec["event"] = "init" if kf_id == 0 else "keyframe"
                 rec.update(
                     kf_id=kf_id,
@@ -558,11 +571,13 @@ class SlamSystem:
         if due:
             self.loop = train_vocab(self.cfg, self.loop, self.map)
             self._vocab_trained_at = n_kf
-        # Verify the drain's consistent candidates in ONE batched dispatch
-        # (sequential verifies cost ~2 tunnel round trips each — see
-        # verify_loops_batch), then run at most one pose-graph CORRECTION —
-        # later requests reference the pre-correction map.
-        self._verify_and_close(loop_requests)
+        # Resolve the PREVIOUS drain's verification batch (its readback
+        # landed while this chunk was tracking — no sync in the frame
+        # path), closing at most one loop, then dispatch this drain's
+        # candidates as the next in-flight batch (the reference's
+        # loop-closing thread semantics, §3.4).
+        self._resolve_pending_verify()
+        self._dispatch_verify(loop_requests)
 
         # Dispatch the deferred local BAs LAST, so they solve on the
         # loop-corrected map.  One solve per keyframe event (the inline
@@ -623,7 +638,10 @@ class SlamSystem:
     # batched verify compiles once.
     MAX_VERIFY = 4
 
-    def _verify_and_close(self, loop_requests) -> None:
+    def _dispatch_verify(self, loop_requests) -> None:
+        """Dispatch this drain's candidates in ONE batched verification;
+        results are read at the NEXT flush — its readback would otherwise
+        cost a device round trip in the frame path every candidate drain."""
         reqs, seen = [], set()
         for kf_id, cand, rec in loop_requests:
             if cand >= 0 and (kf_id, cand) not in seen:
@@ -643,13 +661,39 @@ class SlamSystem:
             self.cfg, self.map, kf_ids, cands,
             jax.random.split(k, self.MAX_VERIFY),
         )
-        # One small readback decides; the heavy per-candidate outputs stay
-        # on device and only the chosen row is used.
+        ok.copy_to_host_async()
+        n_inl.copy_to_host_async()
+        # Endpoint identity at dispatch, from the host mirror: a slot culled
+        # or reused before the resolve must drop the closure.
+        guards = [
+            (self._kf_seq_host.get(kf), self._kf_seq_host.get(cand))
+            for kf, cand, _ in reqs
+        ]
+        self._pending_verify = (ok, t_rel, n_inl, midx, mok, reqs, guards,
+                                self.n_loops_closed, self.n_global_ba)
+
+    def _resolve_pending_verify(self) -> None:
+        """Read the previous drain's verification results (bytes landed
+        during the chunk) and run at most one pose-graph correction."""
+        if self._pending_verify is None:
+            return
+        (ok, t_rel, n_inl, midx, mok, reqs, guards, loops0, gba0) = (
+            self._pending_verify
+        )
+        self._pending_verify = None
         ok_h, inl_h = np.asarray(ok), np.asarray(n_inl)
         for i, (kf_id, cand, rec) in enumerate(reqs):
             rec["loop_inliers"] = int(inl_h[i])
+        if self.n_loops_closed != loops0 or self.n_global_ba != gba0:
+            return  # trajectory moved since dispatch; stale measurement
         for i, (kf_id, cand, rec) in enumerate(reqs):
-            if bool(ok_h[i]):
+            fresh = (
+                guards[i][0] is not None
+                and guards[i][1] is not None
+                and self._kf_seq_host.get(kf_id) == guards[i][0]
+                and self._kf_seq_host.get(cand) == guards[i][1]
+            )
+            if fresh and bool(ok_h[i]):
                 self._close_loop(kf_id, cand, t_rel[i], midx[i], mok[i], rec)
                 break
 
@@ -750,7 +794,9 @@ class SlamSystem:
         poses recorded at cull time — the reference's erased-keyframe Tcp
         mechanism; only an unresolvable chain falls back to the raw pose."""
         self.flush()
-        self._merge_pending_ba()  # that flush may have JUST dispatched one
+        # A flush may have JUST dispatched these; land them before dumping.
+        self._merge_pending_ba()
+        self._resolve_pending_verify()
         ts = np.asarray(self.timestamps)
         raw = np.stack(self.poses_twc)
         if len(self.frame_refs) != len(self.poses_twc):

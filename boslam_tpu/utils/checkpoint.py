@@ -26,6 +26,8 @@ def save(path: str, slam) -> None:
     slam.flush()
     if hasattr(slam, "_merge_pending_ba"):
         slam._merge_pending_ba()  # land an in-flight async local BA
+    if hasattr(slam, "_resolve_pending_verify"):
+        slam._resolve_pending_verify()  # and any in-flight loop closure
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     state = {
