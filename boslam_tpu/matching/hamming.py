@@ -15,6 +15,7 @@ Both are ``vmap``-batchable across frames.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -59,7 +60,11 @@ def hamming_matrix_mxu(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(na[:, None] + nb[None, :] - 2.0 * dot).astype(jnp.int32)
 
 
-_BIG = jnp.int32(1 << 20)
+# Host scalar, NOT jnp.int32: a module-level device scalar becomes a
+# closed-over constant in every program that traces this file, and MLIR
+# lowering materializes it with a device->host read — one tunnel RTT per
+# process that costs 90+ s when the remote link stalls (measured r5).
+_BIG = np.int32(1 << 20)
 
 
 def match_top2(

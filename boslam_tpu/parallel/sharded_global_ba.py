@@ -26,8 +26,7 @@ from boslam_tpu.mapping.map_state import MapState
 from boslam_tpu.solvers import ba_core
 from boslam_tpu.solvers.ba_core import BaEdges
 from boslam_tpu.solvers.global_ba import (
-    _inv6x6, _pcg, _point_schedule, _point_sum, _point_sum_sorted,
-    build_global_edges,
+    _inv6x6, _pcg, _point_schedule, _point_sum, build_global_edges,
 )
 from boslam_tpu.parallel.sharded_ba import shard_edges_by_point, stripe_points
 

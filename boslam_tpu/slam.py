@@ -459,7 +459,6 @@ class SlamSystem:
         """
         if not batch:
             return
-        t0 = time.perf_counter()
         cam = self.cfg.camera
         imgs, d16s = [], []
         for ts, rgb, depth in batch:
@@ -473,7 +472,11 @@ class SlamSystem:
             imgs.append(g)
             d16s.append(depth)
             self._pending_ts.append(ts)
-            self._pending_t0.append(t0)
+            # Batch frames share one dispatch, so a per-frame wall latency
+            # is not meaningful — t0=None marks the rec as batch-mode and
+            # flush() skips dt_ms instead of reporting an inflated value
+            # (ADVICE r4).
+            self._pending_t0.append(None)
         self.map, self.loop, self.track, self.key, rows = _fused_frame_scan(
             self.cfg, self.map, self.loop, self.track, self.key,
             jnp.asarray(np.stack(imgs)),
@@ -527,8 +530,11 @@ class SlamSystem:
                 "n_matches": int(r[O_NMATCH]),
                 "n_visible": int(r[O_NVIS]),
                 "lost": bool(r[O_LOST] > 0.5),
-                "dt_ms": (t_drain - t0) * 1e3,
             }
+            if t0 is not None:
+                rec["dt_ms"] = (t_drain - t0) * 1e3
+            else:
+                rec["batch_mode"] = True
             if r[O_RELOC] > 0.5:
                 rec["event"] = "relocalize"
                 rec["reloc_ok"] = bool(r[O_RELOC] > 1.5)

@@ -127,3 +127,14 @@ def restore(path: str, slam) -> None:
             (int(row[0]), int(row[1])): (int(row[2]), int(row[3]), row[4:11])
             for row in np.asarray(state["cull_chain"], np.float32)
         }
+    # Rebuild the host-side slot->seq mirror from the restored map: loop
+    # verification (_resolve_pending_verify) requires BOTH endpoints'
+    # mirror entries to be non-None, so without this every closure against
+    # a pre-resume keyframe would be silently dropped (ADVICE r4).
+    slam._kf_seq_host = {
+        i: int(s)
+        for i, (v, s) in enumerate(
+            zip(np.asarray(slam.map.kf_valid), np.asarray(slam.map.kf_seq))
+        )
+        if v
+    }
