@@ -21,15 +21,26 @@ Workload (no TUM data ships in this container — SURVEY.md §0):
    a 400-frame survey drives the engine to a large map; global BA runs on
    THAT map.  Reports LM iters/s + ATE before/after.
 
-**Time budget (VERDICT r3 item 1):** the harness holds a wall-clock budget
-(`--budget`, default 480 s).  The PRIMARY JSON line prints immediately
-after phase 1; phases 2-5 each run only if the remaining budget covers
-their (cold-cache) estimate, and a final JSON line — a strict superset of
-the primary line — reports what ran and what was skipped.  Rendering is
-overlapped with device compiles on a background thread, warmup is a frame
-subset plus explicit precompiles of the rare host-event programs (the
-compile set is shape-bound, not data-bound), so a cold-cache run always
-produces the primary metrics well inside the driver's window.
+**Time budget (VERDICT r3 item 1, reworked r5):** the harness holds a
+wall-clock budget (`--budget`, default 480 s).  The PRIMARY JSON line
+prints immediately after phase 1 and carries the device-path ceiling +
+utilization when budget allowed measuring them (VERDICT r4 item 3);
+phases 2-5 each run only if the remaining budget covers their estimate,
+and a final JSON line — a strict superset of the primary line — reports
+what ran, what was skipped, per-phase seconds, and the per-program warmup
+breakdown.  Phase estimates are CALIBRATED from the measured warmup: the
+dominant cost of every phase is compiling programs, so the ratio of this
+run's first-program compile to its warm-cache reference scales all
+compile-bound estimates (r4's hard-coded estimates were ~10x off on a
+cold cache and every phase was skipped).
+
+Compile-time attack (VERDICT r4 item 1): the engine's jit programs are
+persistently cached (``.jax_cache``), warmup AOT-compiles the rare
+host-event programs on WORKER THREADS (XLA compiles release the GIL, so
+they overlap the warmup frame feed; the AOT writes prime the persistent
+cache and the later in-path retrace hits it), and a previously measured
+tunnel-stall bug — a module-level device scalar forcing a d2h read in
+every first lowering — is fixed at the source (matching/hamming._BIG).
 
 ``vs_baseline`` honesty note: the reference publishes no numbers and its
 mount is EMPTY (SURVEY.md §0/§6) so it was never measured; the denominator
@@ -53,28 +64,85 @@ import numpy as np
 BASELINE_FPS = 30.0  # ORB-SLAM family CPU rate — see module docstring.
 BATCH = 16           # feed_batch size (offline-throughput mode)
 
+# Phase estimate table: name -> (run_s, compile_s).  compile_s is the
+# warm-persistent-cache compile+trace cost and scales with the measured
+# calibration factor (Budget.cal); run_s is execution-bound and does not.
+# tests/test_bench_harness.py checks these against the phase_times a
+# driver capture records, so the table can't silently rot (VERDICT r4
+# item 10).  error_budget_cheap's run part is fps-dependent and computed
+# at the call site.
+PHASE_EST = {
+    "device_path": (20.0, 20.0),
+    "global_ba_50k": (25.0, 40.0),
+    "stages": (15.0, 35.0),
+    "tracked_ba": (120.0, 60.0),
+}
+
+
+# Warm-persistent-cache reference for the fused step's first call (trace +
+# cache-hit compile + first execution), measured r5 on the tunneled v5e.
+_WARM_FIRST_CALL_S = 20.0
+
+# Warm-cache reference seconds per AOT precompile job (trace + cache-hit
+# compile, measured r5).  The compile-cost calibration is the MEDIAN of
+# measured/reference over these jobs: the median is robust to a single
+# tunnel stall, and the AOT jobs isolate trace+compile cost from the first
+# frame's execution (whose one-off d2h stall mis-calibrated an r5 test run
+# 11x while the cache was actually warm).
+_AOT_WARM_REF_S = {
+    "train_vocab": 2.0,
+    "verify_loops": 4.0,
+    "close_loop": 5.0,
+    "fused_scan": 15.0,
+}
+
 
 class Budget:
-    """Wall-clock budget: phases check ``allow(name, est)`` before running."""
+    """Wall-clock budget: phases check ``allow(name, run_s, compile_s)``
+    before running.  ``compile_s`` is the phase's warm-cache compile cost
+    and is scaled by ``cal`` — the measured-vs-reference first-compile
+    ratio — so a cold cache or a slow tunnel inflates estimates instead of
+    letting phases blow the driver window (VERDICT r4 item 1/weak 1)."""
 
     def __init__(self, total_s: float):
         self.t0 = time.perf_counter()
         self.total = total_s
         self.skipped = []
+        self.cal = 1.0
+        self.phase_times = {}
 
     def remaining(self) -> float:
         return self.total - (time.perf_counter() - self.t0)
 
-    def allow(self, name: str, est_s: float) -> bool:
+    def estimate(self, run_s: float, compile_s: float) -> float:
+        return run_s + compile_s * self.cal
+
+    def allow(self, name: str, run_s: float, compile_s: float = 0.0) -> bool:
+        est = self.estimate(run_s, compile_s)
         rem = self.remaining()
-        if rem >= est_s:
+        if rem >= est:
             return True
         self.skipped.append(name)
         print(
-            f"[bench] SKIP {name}: est {est_s:.0f}s > {rem:.0f}s remaining",
+            f"[bench] SKIP {name}: est {est:.0f}s (cal {self.cal:.1f}) > "
+            f"{rem:.0f}s remaining",
             file=sys.stderr,
         )
         return False
+
+    def timed(self, name: str):
+        budget = self
+
+        class _T:
+            def __enter__(self):
+                self.t = time.perf_counter()
+
+            def __exit__(self, *exc):
+                budget.phase_times[name] = round(
+                    time.perf_counter() - self.t, 1
+                )
+
+        return _T()
 
 
 def _wire(cfg, ts, rgb, depth_f32):
@@ -189,6 +257,101 @@ def _run_engine(cfg, frames, *, loop_off: bool = False):
     return slam
 
 
+class _AotPrecompiles:
+    """Handle for the background AOT compile threads (join + timings)."""
+
+    def __init__(self, threads, times):
+        self.threads = threads
+        self.times = times
+
+    def join(self, timeout_s: float = 600.0):
+        deadline = time.perf_counter() + timeout_s
+        for t in self.threads:
+            t.join(timeout=max(0.1, deadline - time.perf_counter()))
+
+
+def _start_aot_precompiles(cfg, include_batch: bool) -> _AotPrecompiles:
+    """AOT-lower+compile the rare host-event programs and the batch scan on
+    worker threads, overlapping the warmup frame feed (XLA compiles release
+    the GIL; only the cheap tracing serializes).  The compiles write the
+    persistent cache, so the later in-path calls retrace and hit it —
+    turning r4's serial cold-compile chain into overlapped work (VERDICT r4
+    item 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from boslam_tpu import slam as slam_mod
+    from boslam_tpu.loopclosure import (
+        empty_loop_state, train_vocab, verify_loops_batch,
+    )
+    from boslam_tpu.mapping import empty_map
+    from boslam_tpu.solvers.pose_graph import close_loop_update
+    from boslam_tpu.tracking import init_track_state
+
+    sh = lambda t: jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t
+    )
+    ms = sh(empty_map(cfg))
+    ls = sh(empty_loop_state(cfg))
+    tr = sh(init_track_state())
+    key = sh(jax.random.key(0))
+    m = slam_mod.SlamSystem.MAX_VERIFY
+    ids = jax.ShapeDtypeStruct((m,), jnp.int32)
+    keys = sh(jax.random.split(jax.random.key(0), m))
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    t7 = jax.ShapeDtypeStruct((7,), jnp.float32)
+    # Shapes of verify's per-candidate outputs feed close_loop_update
+    # (close_loop takes one candidate's row: drop the batch dim).
+    _, _, _, midx, mok = jax.eval_shape(
+        verify_loops_batch, cfg, ms, ids, ids, keys
+    )
+    midx0 = jax.ShapeDtypeStruct(midx.shape[1:], midx.dtype)
+    mok0 = jax.ShapeDtypeStruct(mok.shape[1:], mok.dtype)
+    jobs = [
+        ("train_vocab", lambda: train_vocab.lower(cfg, ls, ms).compile()),
+        (
+            "verify_loops",
+            lambda: verify_loops_batch.lower(
+                cfg, ms, ids, ids, keys
+            ).compile(),
+        ),
+        (
+            "close_loop",
+            lambda: close_loop_update.lower(
+                cfg, ms, i32, i32, t7, midx0, mok0
+            ).compile(),
+        ),
+    ]
+    if include_batch:
+        cam = cfg.camera
+        imgs = jax.ShapeDtypeStruct((BATCH, cam.height, cam.width), jnp.uint8)
+        d16s = jax.ShapeDtypeStruct((BATCH,) + cam.depth_wire_shape,
+                                    jnp.uint16)
+        jobs.append((
+            "fused_scan",
+            lambda: slam_mod._fused_frame_scan.lower(
+                cfg, ms, ls, tr, key, imgs, d16s, True
+            ).compile(),
+        ))
+    times = {}
+
+    def work(name, fn):
+        t0 = time.perf_counter()
+        try:
+            fn()
+            times[name] = round(time.perf_counter() - t0, 1)
+        except Exception as e:  # AOT failure = in-path compile goes cold
+            times[name] = -1.0
+            print(f"[bench] AOT {name} failed: {e!r}", file=sys.stderr)
+
+    threads = [
+        threading.Thread(target=work, args=j, daemon=True) for j in jobs
+    ]
+    for t in threads:
+        t.start()
+    return _AotPrecompiles(threads, times)
+
+
 def _precompile_host_events(slam):
     """Compile the rare host-event programs on the warmup engine's state so
     the measured passes never hit a compile: vocabulary (re)train, batched
@@ -268,27 +431,61 @@ def _h2d_bandwidth_mbps(reps: int = 3) -> float:
 def bench_tracking(args, budget, rf, traj):
     cfg = rf.cfg
 
-    # Warmup: a frame subset compiles the fused step + flush machinery
-    # while the renderer still works in the background, then the explicit
-    # precompiles cover the rare host-event programs (vocab / verify /
-    # close-loop) that a subset may not trigger naturally.
+    # Warmup: the first fed frame compiles the fused step (its measured
+    # wall seconds calibrate every later phase estimate); the rare
+    # host-event programs (vocab / verify / close-loop) and the batch scan
+    # AOT-compile on worker threads in parallel with the remaining warmup
+    # frames; _precompile_host_events then retraces them against the live
+    # engine state, hitting the persistent cache the threads primed.
     t0 = time.perf_counter()
     warm = min(args.warmup_frames, args.frames)
     from boslam_tpu.slam import SlamSystem
 
+    wt = {}
+    include_batch = args.budget >= 240
+    aot = _start_aot_precompiles(cfg, include_batch=include_batch)
     slam = SlamSystem(cfg)
-    for i in range(warm):
+    slam.feed(*rf.get(0))
+    slam.flush()
+    wt["first_frame_s"] = round(time.perf_counter() - t0, 1)
+    t1 = time.perf_counter()
+    for i in range(1, warm):
         slam.feed(*rf.get(i))
     slam.flush()
+    wt["warm_frames_s"] = round(time.perf_counter() - t1, 1)
+    t1 = time.perf_counter()
+    aot.join(timeout_s=max(budget.remaining() - 60.0, 10.0))
+    wt["aot_wait_s"] = round(time.perf_counter() - t1, 1)
+    wt.update({f"aot_{k}_s": v for k, v in aot.times.items()})
+    # Calibrate compile-cost estimates from the AOT jobs (see
+    # _AOT_WARM_REF_S); fall back to the first-frame ratio when no AOT job
+    # reported a time.
+    ratios = [
+        v / _AOT_WARM_REF_S[k]
+        for k, v in aot.times.items() if v > 0 and k in _AOT_WARM_REF_S
+    ]
+    budget.cal = float(np.clip(
+        np.median(ratios) if ratios
+        else wt["first_frame_s"] / _WARM_FIRST_CALL_S,
+        0.5, 30.0,
+    ))
+    t1 = time.perf_counter()
     _precompile_host_events(slam)
-    # Compile the batch-feed scan too (the offline-throughput mode).
-    lo = warm if warm + BATCH <= rf.n_total else 0
-    if lo + BATCH <= rf.n_total:
+    wt["host_events_s"] = round(time.perf_counter() - t1, 1)
+    if include_batch and budget.remaining() > budget.estimate(15.0, 10.0):
+        t1 = time.perf_counter()
+        lo = warm if warm + BATCH <= rf.n_total else 0
         slam.feed_batch([rf.get(lo + i) for i in range(BATCH)])
         slam.flush()
+        wt["feed_batch_s"] = round(time.perf_counter() - t1, 1)
+    else:
+        include_batch = False
+    wt["total_s"] = round(time.perf_counter() - t0, 1)
     print(
-        f"[bench] warmup ({warm} frames + host-event precompiles): "
-        f"{time.perf_counter()-t0:.1f}s", file=sys.stderr,
+        f"[bench] warmup ({warm} frames, threaded AOT precompiles): "
+        + " ".join(f"{k}={v}" for k, v in wt.items())
+        + f" cal={budget.cal:.1f}",
+        file=sys.stderr,
     )
 
     t0 = time.perf_counter()
@@ -325,12 +522,13 @@ def bench_tracking(args, budget, rf, traj):
 
     fps_batch_runs = []
     for i in range(2):
-        # First pass needs generous headroom (batch mode loses to streaming
-        # whenever the tunnel is bandwidth-bound, so the later phases matter
-        # more); the second runs only if the first was competitive.
-        if budget.remaining() < (150 if i == 0 else 60) or (
-            i == 1 and fps_batch_runs[0] < 0.9 * fps
-        ):
+        # Needs the scan executable from warmup; first pass needs generous
+        # headroom (batch mode loses to streaming whenever the tunnel is
+        # bandwidth-bound, so the later phases matter more); the second
+        # runs only if the first was competitive.
+        if not include_batch or budget.remaining() < (
+            150 if i == 0 else 60
+        ) or (i == 1 and fps_batch_runs[0] < 0.9 * fps):
             budget.skipped.append(f"fps_batch_pass_{i}")
             break
         t0 = time.perf_counter()
@@ -370,25 +568,48 @@ def bench_tracking(args, budget, rf, traj):
         # Wire context for the wall fps: ~0.46 MB/frame H2D, so the
         # tunnel-bound fps ceiling is roughly h2d_mbps / 0.46.
         "h2d_mbps": round(bw, 1),
+        **{f"warmup_{k}": v for k, v in wt.items()},
     }
+
+    # Device-path ceiling + MFU belong in the PRIMARY line (VERDICT r4
+    # item 3): the wall fps above additionally pays this container's
+    # remote-TPU tunnel wire costs; device_step_ms is what a local-chip
+    # deployment pays per frame, and step_util_* grounds it in hardware.
+    if budget.allow("device_path", *PHASE_EST["device_path"]):
+        with budget.timed("device_path"):
+            from boslam_tpu.utils.timing import (
+                fused_step_device_ms, fused_step_utilization,
+            )
+
+            _, gray, d16 = frames[len(frames) // 2]
+            dev_ms = fused_step_device_ms(
+                slam, gray, np.asarray(d16), scan_len=16
+            )
+            extras["device_step_ms"] = round(dev_ms, 2)
+            extras["device_fps"] = round(1e3 / max(dev_ms, 1e-6), 1)
+            extras.update(
+                fused_step_utilization(slam, gray, np.asarray(d16), dev_ms)
+            )
     return extras, slam, frames
 
 
-def bench_stages(args, slam, frames):
-    """Per-stage ms + utilization + the device-path fps ceiling."""
+def bench_stages(args, slam, frames, extras=None):
+    """Per-stage ms + utilization (+ the device-path fps ceiling when the
+    primary line didn't already measure it)."""
     from boslam_tpu.utils.timing import fused_step_device_ms, stage_timings
 
     cfg = slam.cfg
     _, gray, d16 = frames[len(frames) // 2]
     depth = np.asarray(d16).astype(np.float32) / cfg.camera.depth_factor
     stages = stage_timings(slam, gray.astype(np.float32), depth)
-    # Device-path ceiling: the fused step scan-chained on device, i.e.
-    # what a LOCAL (non-tunneled) chip deployment pays per frame.  The
-    # wall-clock fps above additionally carries this container's
-    # remote-TPU tunnel wire costs (~0.45 MB/frame H2D).
-    dev_ms = fused_step_device_ms(slam, gray, np.asarray(d16))
-    stages["device_step_ms"] = dev_ms
-    stages["device_fps"] = 1e3 / max(dev_ms, 1e-6)
+    if extras is None or "device_step_ms" not in extras:
+        # Device-path ceiling: the fused step scan-chained on device, i.e.
+        # what a LOCAL (non-tunneled) chip deployment pays per frame.  The
+        # wall-clock fps above additionally carries this container's
+        # remote-TPU tunnel wire costs (~0.45 MB/frame H2D).
+        dev_ms = fused_step_device_ms(slam, gray, np.asarray(d16))
+        stages["device_step_ms"] = dev_ms
+        stages["device_fps"] = 1e3 / max(dev_ms, 1e-6)
     print("[bench] stages: " + " ".join(
         f"{k}={v:.4f}" if "util" in k else f"{k}={v:.2f}"
         for k, v in stages.items()), file=sys.stderr)
@@ -681,16 +902,30 @@ def main() -> None:
     # PRIMARY line: prints even if a later phase busts the driver window.
     _emit(extras)
 
-    if not args.no_stages and budget.allow("stages", 100):
-        extras.update(bench_stages(args, slam, frames))
-    if budget.allow("error_budget_cheap", 50):
-        extras.update(
-            bench_error_budget_cheap(args, budget, rf, traj, cfg, frames)
-        )
-    if not args.no_global_ba and budget.allow("global_ba_50k", 80):
-        extras.update(bench_global_ba(args))
-    if not args.no_tracked_ba and budget.allow("tracked_ba", 260):
-        extras.update(bench_tracked_global_ba(args, budget, rf))
+    # Phase order = evidence priority: accuracy error budget, then the
+    # BASELINE BA-iters/s primary metric, then substage detail, then the
+    # tracked-map BA.  Estimates are (run_s, compile_s); compile_s scales
+    # by the measured warmup calibration.
+    fps_est = max(extras.get("fps_stream", 10.0), 1.0)
+    # 2 engine passes; x3 covers tunnel-mood swings between the measured
+    # passes and these (r5 test run: est 35s, measured 102s) + render wait.
+    if budget.allow("error_budget_cheap", 6 * args.frames / fps_est + 25):
+        with budget.timed("error_budget_cheap"):
+            extras.update(
+                bench_error_budget_cheap(args, budget, rf, traj, cfg, frames)
+            )
+    if not args.no_global_ba and budget.allow(
+            "global_ba_50k", *PHASE_EST["global_ba_50k"]):
+        with budget.timed("global_ba_50k"):
+            extras.update(bench_global_ba(args))
+    if not args.no_stages and budget.allow("stages", *PHASE_EST["stages"]):
+        with budget.timed("stages"):
+            extras.update(bench_stages(args, slam, frames, extras))
+    if not args.no_tracked_ba and budget.allow(
+            "tracked_ba", *PHASE_EST["tracked_ba"]):
+        with budget.timed("tracked_ba"):
+            extras.update(bench_tracked_global_ba(args, budget, rf))
+    extras["phase_times"] = budget.phase_times
 
     # FINAL line: strict superset of the primary line (drivers that parse
     # the last JSON line get everything; ones that parse the first still

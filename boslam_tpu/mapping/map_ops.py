@@ -216,6 +216,60 @@ def cull_one_keyframe(cfg: SlamConfig, state: MapState):
     )
     victim = jnp.argmax(jnp.where(eligible, frac, -1.0))
     do = eligible[victim]
+    return _remove_keyframe(state, victim, do)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def evict_for_slot(cfg: SlamConfig, state: MapState):
+    """Capacity-saturation eviction (SURVEY.md §7.2 overflow policy).
+
+    When every keyframe slot is occupied and nothing meets the redundancy
+    threshold, ``can_kf`` used to silently refuse insertion forever and
+    tracking quality decayed with no signal (VERDICT r4 item 4).  Instead,
+    when the pool is FULL this evicts the lowest-VALUE keyframe — minimal
+    summed covisibility weight to the live window (the latest keyframe and
+    its covisible group), ties broken toward the oldest — so the map keeps
+    absorbing new viewpoints at bounded capacity.  Root (gauge anchor) and
+    the live window itself are protected.  No-op (victim slot -1) while a
+    free slot exists.  Same (state, cull_info[11]) contract as
+    ``cull_one_keyframe`` so the host cull-chain / trajectory re-anchoring
+    machinery applies unchanged.
+    """
+    K = state.kf_valid.shape[0]
+    latest = latest_kf_slot(state)
+    # Live window: latest + its strongest covisible neighbors.
+    w_row = state.covis[latest] * state.kf_valid
+    window = w_row >= jnp.maximum(cfg.map.covis_min_weight, 1)
+    window = window.at[latest].set(True)
+    # Value = how much a keyframe still shares with the live window.
+    value = jnp.sum(
+        jnp.where(window[None, :], state.covis, 0), axis=1
+    ).astype(jnp.float32)
+    eligible = (
+        state.kf_valid
+        & (state.kf_seq > 0)          # root (gauge anchor) protected
+        & ~window                      # never evict the live window
+        & (jnp.arange(K) != latest)
+    )
+    # Small-pool fallback: if the whole pool IS the live window (tight
+    # loops at tiny max_keyframes), relax the window protection — only
+    # root and the latest stay untouchable, so insertion never deadlocks.
+    fallback = (
+        state.kf_valid & (state.kf_seq > 0) & (jnp.arange(K) != latest)
+    )
+    use = jnp.where(jnp.any(eligible), eligible, fallback)
+    # Lexicographic (value, seq): evict the most isolated, oldest first.
+    score = value * 1e6 + state.kf_seq.astype(jnp.float32)
+    victim = jnp.argmin(jnp.where(use, score, jnp.inf))
+    do = jnp.all(state.kf_valid) & use[victim]
+    return _remove_keyframe(state, victim, do)
+
+
+def _remove_keyframe(state: MapState, victim, do):
+    """Shared removal machinery for cull_one_keyframe / evict_for_slot:
+    re-home points and spanning-tree children, invalidate touching loop
+    edges, free the slot, and emit the [11] cull-chain record."""
+    K = state.kf_valid.shape[0]
     # Re-home points referencing the victim to its spanning parent (root as
     # fallback): pt_ref_kf must always name a LIVE keyframe, or pose-graph
     # corrections would leave those points behind (stale-map tracking loss).

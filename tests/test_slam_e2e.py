@@ -271,3 +271,66 @@ def test_feed_batch_matches_per_frame():
     ev_a = [m.get("event") for m in a.metrics]
     ev_b = [m.get("event") for m in b.metrics]
     assert ev_a == ev_b
+
+
+@pytest.mark.slow
+def test_keyframe_pool_saturation_keeps_inserting():
+    """SURVEY §7.2 overflow policy (VERDICT r4 item 4): on a long
+    NON-redundant trajectory with a tiny keyframe pool, the engine must
+    keep inserting keyframes by evicting the lowest-value one — not
+    silently refuse insertion and decay.  Checks: events keep firing deep
+    into the run, the pool stays bounded, evictions land in the cull chain
+    so anchoring stays consistent, and tracking survives."""
+    traj = synthetic.orbit_trajectory(120, radius=0.8, yaw_amplitude=0.3)
+    frames = synthetic.render_sequence(CAM, traj, depth_noise=0.01, seed=5)
+    cfg = CFG.replace(
+        map=MapConfig(max_keyframes=16, max_points=4096,
+                      kf_cull_redundancy=2.0),  # redundancy cull off
+        tracker=TrackerConfig(kf_min_interval=1, kf_max_interval=3,
+                              kf_tracked_ratio=0.95),
+    )
+    slam = run_sequence(cfg, frames)
+    kf_events = [
+        i for i, m in enumerate(slam.metrics) if m.get("event") == "keyframe"
+    ]
+    # 120 frames at <=3-frame keyframe spacing wants ~40 keyframes against
+    # 16 slots: insertion must continue in the last third.
+    assert len(kf_events) > 25, f"only {len(kf_events)} keyframe events"
+    assert kf_events[-1] >= 80, (
+        f"last keyframe event at frame {kf_events[-1]} — insertion stalled "
+        "once the pool saturated"
+    )
+    assert int(np.asarray(slam.map.kf_valid).sum()) <= 16
+    # Saturation evictions are recorded in the cull chain and every frame
+    # still resolves to a live anchor at dump time.
+    assert slam.cull_chain, "no evictions recorded despite a full pool"
+    assert not any(m.get("lost", False) for m in slam.metrics[-20:])
+    ts, est = slam.trajectory()
+    assert est.shape[0] == 120
+    rmse, _ = align.ate_rmse(
+        jnp.asarray(est[:, 4:]), jnp.asarray(traj.poses_twc[:, 4:])
+    )
+    assert float(rmse) < 0.1, f"ATE {float(rmse):.3f} m under saturation"
+
+
+def test_deterministic_rerun_bit_identical():
+    """Two runs of the engine over identical frames in one process must
+    produce bit-identical trajectories and summary state (VERDICT r4 item
+    2: the driver-captured ATE and a README claim diverged for nominally
+    identical configuration — a deterministic engine makes that a config/
+    staleness bug, not run-to-run noise).  Fresh engines both times: the
+    shared orbit_run fixture is mutated in place by the global-BA hook
+    test."""
+    traj = synthetic.orbit_trajectory(30, radius=0.5, yaw_amplitude=0.2)
+    frames = synthetic.render_sequence(CAM, traj)
+    slam1 = run_sequence(CFG, frames)
+    slam2 = run_sequence(CFG, frames)
+    _, est1 = slam1.trajectory()
+    _, est2 = slam2.trajectory()
+    np.testing.assert_array_equal(est1, est2)
+    assert slam1.n_keyframes == slam2.n_keyframes
+    assert slam1.n_points == slam2.n_points
+    assert slam1.n_loops_closed == slam2.n_loops_closed
+    k1 = [m.get("event") for m in slam1.metrics]
+    k2 = [m.get("event") for m in slam2.metrics]
+    assert k1 == k2
