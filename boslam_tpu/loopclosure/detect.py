@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from boslam_tpu.config import SlamConfig
 from boslam_tpu.geometry import camera as cam_mod
+from boslam_tpu.geometry import se3
 from boslam_tpu.loopclosure.vocab import LoopState
 from boslam_tpu.matching import hamming
 from boslam_tpu.matching.rotation import rotation_consistency
@@ -113,42 +114,89 @@ def verify_loops_batch(cfg: SlamConfig, map_state, kf_curs, kf_cands, keys):
     )(kf_curs, kf_cands, keys)
 
 
+# Covisible neighbors pooled into loop verification (static fan-in).
+VERIFY_GROUP = 4
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def verify_loop(cfg: SlamConfig, map_state, kf_cur, kf_cand, key):
-    """Geometric verification: mutual Hamming matches between the two
-    keyframes' descriptors, then SE3 RANSAC on their keypoint
-    backprojections.
+    """Geometric verification against the candidate's COVISIBILITY GROUP
+    (reference §3.4: the candidate's group map points are matched against
+    the current keyframe, not just its own descriptors — VERDICT r4 item
+    6): the current keyframe's descriptors match the stacked descriptors
+    of the candidate + its top covisible neighbors, every group keypoint
+    is backprojected into the CANDIDATE's camera frame through the current
+    relative poses (locally accurate; drift is global), and SE3 RANSAC +
+    pixel-GN refinement run on the pooled correspondences.  Genuine
+    revisits under viewpoint change gain the neighbors' coverage, raising
+    inlier counts at the source instead of via looser gates.
 
-    Returns (ok, T_cur_cand [7], n_inliers) with
-    x_cur ≈ T_cur_cand · x_cand for camera-frame points.
+    Returns (ok, T_cur_cand [7], n_inliers, idx, inlier_mask); idx /
+    inlier_mask are CANDIDATE-local keypoint matches (neighbor-sourced
+    correspondences strengthen the geometry but are not fused — point
+    fusion's write-back targets the candidate row).
     """
     lc = cfg.loop
     cam = cfg.camera
+    K = map_state.kf_valid.shape[0]
     d_cur = map_state.kf_desc[kf_cur]
-    d_cand = map_state.kf_desc[kf_cand]
     z_cur = map_state.kf_depth[kf_cur]
-    z_cand = map_state.kf_depth[kf_cand]
     v_cur = map_state.kf_kp_valid[kf_cur] & (z_cur > 0)
-    v_cand = map_state.kf_kp_valid[kf_cand] & (z_cand > 0)
+    N = d_cur.shape[0]
+
+    # Group: candidate first (match indices stay candidate-local in the
+    # first block), then its strongest covisible neighbors.
+    from boslam_tpu.mapping.map_state import covis_neighbors
+
+    nbr_ids, _, nbr_ok = covis_neighbors(
+        map_state, kf_cand, VERIFY_GROUP, cfg.map.covis_min_weight
+    )
+    nbr_ok = (
+        nbr_ok & map_state.kf_valid[nbr_ids]
+        & (nbr_ids != kf_cur) & (nbr_ids != kf_cand)
+    )
+    grp = jnp.concatenate([kf_cand[None], nbr_ids])            # [G+1]
+    grp_ok = jnp.concatenate([jnp.ones((1,), bool), nbr_ok])
+    gi = jnp.clip(grp, 0, K - 1)
+
+    d_grp = map_state.kf_desc[gi].reshape(-1, 8)               # [(G+1)N, 8]
+    z_grp = map_state.kf_depth[gi]                             # [G+1, N]
+    v_grp = (
+        map_state.kf_kp_valid[gi] & (z_grp > 0) & grp_ok[:, None]
+    ).reshape(-1)
+    # Each group member's camera-frame points -> the CANDIDATE's frame.
+    T_cand_g = se3.pose_compose(
+        map_state.kf_pose[kf_cand][None, :],
+        se3.pose_inv(map_state.kf_pose[gi]),
+    )                                                          # [G+1, 7]
+    x_g = cam_mod.backproject(
+        cam, map_state.kf_uv[gi].reshape(-1, 2), z_grp.reshape(-1)
+    ).reshape(VERIFY_GROUP + 1, N, 3)
+    xc_grp = se3.pose_apply(T_cand_g[:, None, :], x_g).reshape(-1, 3)
+
     # Wide threshold: RANSAC gates the outliers, and grid-distributed
     # keypoints make cross-visit matches sparser than clustered ones.
-    dist = hamming.hamming_matrix_mxu(d_cur, d_cand)
+    dist = hamming.hamming_matrix_mxu(d_cur, d_grp)
     idx, ok, _ = hamming.match_top2(
-        dist, v_cur, v_cand, max_dist=cfg.matcher.hamming_high,
+        dist, v_cur, v_grp, max_dist=cfg.matcher.hamming_high,
         ratio=0.9, mutual=True,
     )
-    # Rotation-consistency histogram over the match set (reference Matcher).
-    cand_angle = map_state.kf_angle[kf_cand]
-    ok = rotation_consistency(
+    # Rotation-consistency histogram (reference Matcher) on CANDIDATE-block
+    # matches: one global in-plane offset exists only between the two
+    # frames; neighbor-sourced matches (different relative roll each) are
+    # gated by mutual+threshold+RANSAC+GN instead.
+    is_cand = (idx >= 0) & (idx < N)
+    ang_grp = map_state.kf_angle[gi].reshape(-1)
+    ok_rot = rotation_consistency(
         map_state.kf_angle[kf_cur],
-        cand_angle[jnp.clip(idx, 0, cand_angle.shape[0] - 1)],
-        ok,
+        ang_grp[jnp.clip(idx, 0, ang_grp.shape[0] - 1)],
+        ok & is_cand,
     )
+    ok = jnp.where(is_cand, ok_rot, ok)
     idx = jnp.where(ok, idx, -1)
-    N = d_cur.shape[0]
-    j = jnp.clip(idx, 0, N - 1)
+    j = jnp.clip(idx, 0, (VERIFY_GROUP + 1) * N - 1)
     xc_cur = cam_mod.backproject(cam, map_state.kf_uv[kf_cur], z_cur)
-    xc_cand = cam_mod.backproject(cam, map_state.kf_uv[kf_cand], z_cand)
+    xc_cand = xc_grp
     # Depth-adaptive inlier radius (per correspondence): RGBD 3D noise
     # grows with range, and a fixed radius starves RANSAC of far points in
     # hall-scale scenes (r4 finding: genuine revisits with 60-80 refined
@@ -174,8 +222,25 @@ def verify_loop(cfg: SlamConfig, map_state, kf_cur, kf_cand, key):
         ok & (z_cur > 0), ok, map_state.kf_octave[kf_cur],
         inliers0=res.inliers,
     )
-    # Descriptor-level candidate gate (config min_score_matches) + the GN
-    # chi2 inlier gate: both must clear for the edge to enter the pose graph.
-    enough_matches = jnp.sum(ok) >= lc.min_score_matches
-    good = res.ok & enough_matches & (refined.n_inliers >= inl_gate)
-    return good, refined.pose, refined.n_inliers, idx, refined.inliers & ok
+    # Gates.  The POOLED inliers measure geometric evidence, but the
+    # decision must still require DIRECT cur<->candidate overlap — without
+    # the direct gate, a candidate whose group merely covers shared scenery
+    # verifies "loops" between views that never co-observed anything, and
+    # the resulting early edges warp the trajectory (measured r5: orbit
+    # fixture ATE 0.029 -> 0.21 with pooled-only gating).
+    is_cand = (idx >= 0) & (idx < N)
+    cand_inl = jnp.sum(refined.inliers & ok & is_cand)
+    enough_matches = jnp.sum(ok & is_cand) >= lc.min_score_matches
+    good = (
+        res.ok
+        & enough_matches
+        & (refined.n_inliers >= inl_gate)       # pooled geometric evidence
+        & (cand_inl * 2 >= inl_gate)            # direct-overlap requirement
+    )
+    # Fusion consumes CANDIDATE-local matches (see docstring): neighbor-
+    # sourced correspondences verified the geometry but are dropped here.
+    idx_cand = jnp.where(is_cand, idx, -1)
+    return (
+        good, refined.pose, refined.n_inliers, idx_cand,
+        refined.inliers & ok & (idx_cand >= 0),
+    )

@@ -146,7 +146,12 @@ def fused_step_utilization(slam, gray_u8: np.ndarray, d16: np.ndarray,
     return {
         "step_gflops": round(flops / 1e9, 2),
         "step_util_flops": round(flops / sec / peak_f, 4),
-        "step_util_hbm": round(nbytes / sec / peak_b, 4),
+        # Absolute effective byte rate, NOT a fraction of HBM peak: XLA's
+        # "bytes accessed" counts every buffer touch including fused
+        # intermediates that never reach HBM, so a ratio against the HBM
+        # peak exceeds 1 on well-fused programs (measured 3.8x) and would
+        # misread as impossible utilization.
+        "step_bytes_gbps": round(nbytes / sec / 1e9, 1),
     }
 
 
