@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--out", type=str, default="trajectory.txt")
     ap.add_argument("--metrics", type=str, default=None)
+    ap.add_argument("--metrics-tb", type=str, default=None,
+                    help="TensorBoard logdir: mirror the per-frame metric "
+                         "records as scalars (viewable next to --profile "
+                         "traces)")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="save engine state every N keyframes")
     ap.add_argument("--checkpoint-dir", type=str, default="ckpt")
@@ -195,6 +199,12 @@ def main() -> None:
 
     if args.metrics:
         dump_metrics(args.metrics, slam.metrics)
+    if args.metrics_tb:
+        from boslam_tpu.utils.metrics import export_tensorboard
+
+        export_tensorboard(args.metrics_tb, slam.metrics)
+        print(f"wrote TensorBoard scalars to {args.metrics_tb}",
+              file=sys.stderr)
 
     if args.viz:
         from boslam_tpu.viz import render_map

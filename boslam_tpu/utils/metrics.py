@@ -65,3 +65,53 @@ def summarize(metrics: list) -> dict:
         out["median_frame_ms"] = dts_sorted[len(dts) // 2]
         out["p90_frame_ms"] = dts_sorted[int(len(dts) * 0.9)]
     return out
+
+
+# Scalar fields of a frame record exported to TensorBoard (SURVEY.md §5.5
+# names "JSONL + TensorBoard scalars"; VERDICT r4 item 5 — this was the one
+# half-built inventory row).  Events map to a 0/1 scalar per event type so
+# keyframe/loop/lost activity is visible as a timeline.
+_TB_SCALARS = ("n_inliers", "n_matches", "n_visible", "dt_ms",
+               "ba_cost0", "ba_cost1", "ba_edges", "loop_score",
+               "loop_inliers")
+_TB_EVENTS = ("keyframe", "loop_closed", "lost", "relocalize")
+
+
+def export_tensorboard(logdir: str, metrics: Iterable[dict]) -> str:
+    """Mirror per-frame metric records as TensorBoard scalars.
+
+    Uses the installed ``tensorboard`` package's event-file writer directly
+    (pure protobuf serialization — no TensorFlow dependency).  Returns the
+    logdir so callers can print where to point TensorBoard; the scalars
+    land next to any ``--profile`` trace written to the same directory.
+    """
+    from tensorboard.compat.proto.event_pb2 import Event
+    from tensorboard.compat.proto.summary_pb2 import Summary
+    from tensorboard.summary.writer.event_file_writer import EventFileWriter
+
+    w = EventFileWriter(logdir)
+    try:
+        for step, m in enumerate(metrics):
+            values = [
+                Summary.Value(tag=f"frame/{k}", simple_value=float(m[k]))
+                for k in _TB_SCALARS if k in m
+            ]
+            ev_name = m.get("event")
+            values += [
+                Summary.Value(
+                    tag=f"event/{name}",
+                    simple_value=float(bool(
+                        ev_name == name
+                        or (name == "lost" and m.get("lost", False))
+                    )),
+                )
+                for name in _TB_EVENTS
+            ]
+            if values:
+                w.add_event(Event(
+                    wall_time=float(m.get("ts", step)), step=step,
+                    summary=Summary(value=values),
+                ))
+    finally:
+        w.close()
+    return logdir

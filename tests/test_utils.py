@@ -179,3 +179,43 @@ def test_config_from_yaml(tmp_path):
     bad2.write_text("map:\n  max_keyframez: 64\n")
     with pytest.raises(TypeError):
         SlamConfig.from_yaml(str(bad2))
+
+
+def test_tensorboard_scalar_export(tmp_path):
+    """SURVEY §5.5 'JSONL + TensorBoard scalars' (VERDICT r4 item 5): the
+    metric records mirror to a TensorBoard event file that the tensorboard
+    loader reads back with the expected tags."""
+    from boslam_tpu.utils.metrics import export_tensorboard
+
+    metrics = [
+        {"ts": 0.0, "event": "init", "dt_ms": 5.0},
+        {"ts": 0.1, "n_inliers": 50, "n_matches": 80, "dt_ms": 7.0},
+        {"ts": 0.2, "n_inliers": 60, "event": "keyframe",
+         "ba_cost0": 9.0, "ba_cost1": 3.0, "dt_ms": 9.0},
+        {"ts": 0.3, "n_inliers": 10, "lost": True, "dt_ms": 6.0},
+    ]
+    logdir = str(tmp_path / "tb")
+    export_tensorboard(logdir, metrics)
+    import glob as _glob
+    import os as _os
+
+    files = _glob.glob(_os.path.join(logdir, "events.out.tfevents.*"))
+    assert len(files) == 1
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader,
+    )
+
+    evs = list(EventFileLoader(files[0]).Load())
+    by_tag = {}
+    for e in evs:
+        for v in (e.summary.value if e.summary else []):
+            # TB 2.x writers migrate simple_value into tensor form.
+            val = (
+                v.tensor.float_val[0]
+                if v.HasField("tensor") else v.simple_value
+            )
+            by_tag.setdefault(v.tag, []).append((e.step, val))
+    assert by_tag["frame/n_inliers"] == [(1, 50.0), (2, 60.0), (3, 10.0)]
+    assert (2, 1.0) in by_tag["event/keyframe"]
+    assert (3, 1.0) in by_tag["event/lost"]
+    assert (1, 0.0) in by_tag["event/lost"]
