@@ -829,6 +829,12 @@ def _emit(extras, budget=None):
                          "denominator=30fps ORB-SLAM-family CPU rate",
         **extras,
     }
+    if "device_fps" in extras:
+        # The wall fps pays this container's remote-TPU tunnel wire tax; a
+        # local-chip deployment pays the device path.  Both ratios shown.
+        line["vs_baseline_device"] = round(
+            extras["device_fps"] / BASELINE_FPS, 3
+        )
     if budget is not None:
         line["phases_skipped"] = budget.skipped
         line["elapsed_s"] = round(time.perf_counter() - budget.t0, 1)
