@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--frames", type=int, default=450)
     ap.add_argument("--depth-stride", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-cull", action="store_true",
+                    help="disable redundancy keyframe culling so loop edges "
+                         "survive to the end of the run for measurement "
+                         "(a cull touching an endpoint invalidates the "
+                         "edge by design)")
     args = ap.parse_args()
     import jax
 
@@ -43,6 +48,12 @@ def main():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     cfg = bench._tracking_cfg(args)
+    if args.no_cull:
+        import dataclasses
+
+        cfg = cfg.replace(
+            map=dataclasses.replace(cfg.map, kf_cull_redundancy=2.0)
+        )
 
     traj = synthetic.clover_trajectory(
         args.frames, n_petals=3, radius=2.5, yaw_amplitude=0.4
