@@ -22,7 +22,8 @@ Workload (no TUM data ships in this container — SURVEY.md §0):
    THAT map.  Reports LM iters/s + ATE before/after.
 
 **Time budget (VERDICT r3 item 1, reworked r5):** the harness holds a
-wall-clock budget (`--budget`, default 480 s).  The PRIMARY JSON line
+wall-clock budget (`--budget`, default 900 s — safely inside the driver's
+observed tolerance: r4's capture ran 1589 s with rc 0).  The PRIMARY JSON line
 prints immediately after phase 1 and carries the device-path ceiling +
 utilization when budget allowed measuring them (VERDICT r4 item 3);
 phases 2-5 each run only if the remaining budget covers their estimate,
@@ -847,9 +848,12 @@ def main() -> None:
     ap.add_argument("--warmup-frames", type=int, default=128)
     ap.add_argument("--ba-frames", type=int, default=400)
     ap.add_argument("--ba-points", type=int, default=50000)
-    ap.add_argument("--budget", type=float, default=480.0,
+    ap.add_argument("--budget", type=float, default=900.0,
                     help="wall-clock budget (s); phases are skipped when "
-                         "the remaining budget is below their estimate")
+                         "the remaining budget is below their estimate. "
+                         "Default 900: the r4 driver recorded a 1589 s run "
+                         "(rc 0), and at 480 a single bad tunnel mood "
+                         "starved every secondary phase (r5 run 3)")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument("--no-stages", action="store_true")
     ap.add_argument("--no-global-ba", action="store_true")

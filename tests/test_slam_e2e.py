@@ -338,3 +338,32 @@ def test_deterministic_rerun_bit_identical():
     k1 = [m.get("event") for m in slam1.metrics]
     k2 = [m.get("event") for m in slam2.metrics]
     assert k1 == k2
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [2, 3, 5])
+def test_loop_closure_robust_across_seeds(seed):
+    """The closed-orbit fixture must keep closing its loop and keep ATE
+    bounded across render seeds (VERDICT r4 item 7: single-seed bars can
+    overfit gate tuning to one noise draw).  Depth noise is re-drawn per
+    seed; the trajectory and gates are identical.  100 frames (not the
+    80 of test_loop_closure_fires): the revisit must span 2+ keyframes so
+    the temporal-consistency streak can build under noise — all 5 seeds
+    measured 0.026-0.032 m with exactly one closure at this length (3
+    representative seeds in CI for the slow-lane budget)."""
+    traj = synthetic.orbit_trajectory(100, radius=1.2, yaw_amplitude=0.5,
+                                      loop=True)
+    frames = synthetic.render_sequence(CAM, traj, depth_noise=0.01,
+                                       seed=seed)
+    cfg = CFG.replace(
+        loop=LoopConfig(min_gap_kf=8, consistency=2, min_score_matches=25),
+        tracker=TrackerConfig(kf_min_interval=2, kf_tracked_ratio=0.75),
+    )
+    slam = run_sequence(cfg, frames)
+    ts, est = slam.trajectory()
+    rmse, _ = align.ate_rmse(
+        jnp.asarray(est[:, 4:]), jnp.asarray(traj.poses_twc[:, 4:])
+    )
+    assert slam.n_loops_closed >= 1, f"seed {seed}: no loop closed"
+    assert float(rmse) < 0.05, f"seed {seed}: ATE {float(rmse):.3f} m"
+    assert sum(1 for m in slam.metrics if m.get("lost", False)) <= 2
