@@ -746,12 +746,18 @@ def bench_tracked_global_ba(args, budget, rf):
     st2, stats = run(slam.map)          # compile + settle
     np.asarray(st2.kf_pose)             # value read = real sync (axon)
     # Salt the timed input so a cached (program, inputs) result can't
-    # short-circuit the measurement (remote-runtime finding, r3).
-    salted = slam.map._replace(kf_pose=slam.map.kf_pose + 1e-30)
-    t0 = time.perf_counter()
-    st2, stats = run(salted)
-    np.asarray(st2.kf_pose)
-    dt = time.perf_counter() - t0
+    # short-circuit the measurement (remote-runtime finding, r3); median
+    # of 2 reps so one tunnel stall doesn't halve the reported rate.
+    dts = []
+    for i in range(2):
+        salted = slam.map._replace(
+            kf_pose=slam.map.kf_pose + 1e-30 * (i + 1)
+        )
+        t0 = time.perf_counter()
+        st2, stats = run(salted)
+        np.asarray(st2.kf_pose)
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
     slam.map = st2
     ate_after = _ate(slam, traj)
     out = {
@@ -796,11 +802,15 @@ def bench_global_ba(args):
                                              cg_iters=40)
     st2, stats = run(st)
     np.asarray(st2.kf_pose)  # compile + settle (value read = real sync)
-    t0 = time.perf_counter()
-    st2, stats = run(st._replace(kf_pose=st.kf_pose + 1e-30))
-    np.asarray(st2.kf_pose)
-    dt = time.perf_counter() - t0
-    iters_per_s = lm_iters / dt
+    # Median of 3 salted reps: a single tunnel stall on the readback can
+    # otherwise halve the reported rate (r5: 5.6 vs 9.2 steady-state).
+    dts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        st2, stats = run(st._replace(kf_pose=st.kf_pose + 1e-30 * (i + 1)))
+        np.asarray(st2.kf_pose)
+        dts.append(time.perf_counter() - t0)
+    iters_per_s = lm_iters / float(np.median(dts))
     from boslam_tpu.geometry import se3
 
     _, terr = se3.pose_distance(st2.kf_pose[:256], gt_poses)
