@@ -112,7 +112,11 @@ def fused_step_device_ms(slam, gray_u8: np.ndarray, d16: np.ndarray,
         jc = make(length)
         run(jc, np.float32(0))  # compile + settle
         ts = []
-        for i in range(3):
+        # 7 reps: each run is tens of ms of compute + one readback RTT,
+        # and a single tunnel stall leaking into either median otherwise
+        # swings the N-vs-2N difference 3x (r5: 1.7 vs 5.5 ms/frame on
+        # identical code).
+        for i in range(7):
             t0 = time.perf_counter()
             run(jc, np.float32(length * 131 + i + 1))
             ts.append((time.perf_counter() - t0) * 1e3)
