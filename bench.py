@@ -75,7 +75,7 @@ BATCH = 16           # feed_batch size (offline-throughput mode)
 PHASE_EST = {
     "device_path": (25.0, 25.0),
     "global_ba_50k": (25.0, 40.0),
-    "stages": (15.0, 35.0),
+    "stages": (25.0, 60.0),  # 6 scan programs (2 lengths x 3 stages)
     "tracked_ba": (120.0, 60.0),
 }
 

@@ -1,10 +1,13 @@
-"""Per-stage timing harness (SURVEY.md §5.1: per-kernel timing via
-``jax.block_until_ready`` micro-harness).
+"""Per-stage timing harness (SURVEY.md §5.1).
 
 Times each pipeline stage on PRODUCTION shapes against live engine state —
 feature extraction, frame-to-map tracking (matching + motion-only BA), local
 bundle adjustment, and the fused whole-frame step — so optimization work
-(e.g. Pallas kernels) is measured, not guessed.
+(e.g. Pallas kernels) is measured, not guessed.  All wall measurements use
+the remote-tunnel honesty rules (scan-chained full-sum data dependence,
+salted inputs, value-read syncs, N-vs-2N differencing): a sync-per-call
+loop bills a share of the ~25 ms tunnel RTT to every call and inflated
+stage numbers ~4x before r5.
 """
 
 from __future__ import annotations
@@ -15,24 +18,6 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-
-def _time_fn(fn, *args, repeats: int = 10, warmup: int = 2,
-             chain: int = 8) -> float:
-    """Amortized wall ms of ``fn(*args)``: ``chain`` async dispatches per
-    sync (the engine overlaps dispatch exactly like this, and a sync per
-    call would measure the host<->device round trip, not the kernel)."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    out = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(chain):
-            r = fn(*args)
-        jax.block_until_ready(r)
-        out.append((time.perf_counter() - t0) * 1e3 / chain)
-    return float(np.median(out))
 
 
 # Peak device rates for utilization reporting (per chip).  v5e ("TPU v5
@@ -173,12 +158,44 @@ def _fused_step_cost(slam, gray_u8, d16):
     return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
 
 
+def _scan_diff_ms(fn, scan_len: int = 16, reps: int = 7) -> float:
+    """ms per call of ``fn(eps)`` measured as a scan chain with full-sum
+    data dependence, salted input, value-read sync, and N-vs-2N length
+    differencing — the repo's remote-tunnel timing rules (a plain
+    block_until_ready loop bills a share of the ~25 ms RTT to every call
+    and inflated r4/r5 stage numbers ~4x)."""
+    import functools
+
+    def body(acc, _):
+        out = fn(acc * 1e-30)
+        acc = acc + sum(
+            jnp.sum(l.astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(out)
+        )
+        return acc, None
+
+    walls = {}
+    for length in (scan_len, 2 * scan_len):
+        jl = jax.jit(functools.partial(
+            lambda salt, _l: jax.lax.scan(
+                body, salt * 1e-30, None, length=_l)[0], _l=length))
+        float(jl(np.float32(0)))  # compile + settle
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            float(jl(np.float32(length * 131 + i + 1)))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        walls[length] = float(np.median(ts))
+    return (walls[2 * scan_len] - walls[scan_len]) / scan_len
+
+
 def stage_timings(slam, gray: np.ndarray, depth: np.ndarray,
-                  repeats: int = 10) -> Dict[str, float]:
-    """Median ms per pipeline stage using ``slam``'s live map/track state,
-    plus utilization: XLA-estimated FLOPs and HBM bytes per stage divided
-    by measured time and the chip's peak rates (VERDICT r2 item 8 — fps
-    claims are utilization-grounded, not just wall-clock).
+                  repeats: int = 7) -> Dict[str, float]:
+    """ms per pipeline stage using ``slam``'s live map/track state, plus
+    utilization: XLA-estimated FLOPs and HBM bytes per stage divided by
+    measured time and the chip's peak rates (VERDICT r2 item 8 — fps
+    claims are utilization-grounded, not just wall-clock).  Measured with
+    the scan-diff harness (see _scan_diff_ms), not a sync-per-call loop.
 
     Args:
       slam: a SlamSystem that has processed frames (map populated).
@@ -195,25 +212,30 @@ def stage_timings(slam, gray: np.ndarray, depth: np.ndarray,
     feats = extract_features(g, d, cfg)
     jax.block_until_ready(feats.uv)
     center = latest_kf_slot(slam.map)
+    ms_, tr_ = slam.map, slam.track
 
     stages = {
         "feature": (
-            lambda: extract_features(g, d, cfg),
+            lambda eps: extract_features(g + eps, d, cfg),
             (extract_features, (g, d, cfg)),
         ),
         "track": (
-            lambda: track_frame(cfg, slam.map, slam.track, feats),
-            (track_frame, (cfg, slam.map, slam.track, feats)),
+            lambda eps: track_frame(
+                cfg, ms_, tr_._replace(pose_cw=tr_.pose_cw + eps), feats
+            ),
+            (track_frame, (cfg, ms_, tr_, feats)),
         ),
         "local_ba": (
-            lambda: local_bundle_adjustment(cfg, slam.map, center),
-            (local_bundle_adjustment, (cfg, slam.map, center)),
+            lambda eps: local_bundle_adjustment(
+                cfg, ms_._replace(kf_pose=ms_.kf_pose + eps), center
+            ),
+            (local_bundle_adjustment, (cfg, ms_, center)),
         ),
     }
     peaks = device_peaks()
     out = {}
     for name, (run, (jitted, args)) in stages.items():
-        ms = _time_fn(run, repeats=repeats)
+        ms = _scan_diff_ms(run, reps=repeats)
         out[f"{name}_ms"] = ms
         cost = _cost_analysis(jitted, *args)
         if cost is not None and peaks is not None and ms > 0:
