@@ -9,15 +9,17 @@ Workload (no TUM data ships in this container — SURVEY.md §0):
    (local-scope tracking, the reference's track_local_map policy).
    Reports tracked frames/s/chip (median of up to 3 passes), ATE RMSE,
    loops closed.
-2. **Per-stage ms + utilization** (feature / track / local BA) on
-   production shapes (XLA-estimated FLOPs+bytes vs chip peaks) and the
-   device-path ms/frame ceiling (scan-chained fused step).
-3. **Accuracy error budget** (cheap subset): ATE with loop closing off
+2. **Device path + utilization** (in the PRIMARY line): scan-chained
+   fused-step ms/frame + XLA cost-analysis FLOPs vs chip peaks.
+3. **Global BA kernel scale** (config 4 kernel number): 256 keyframes x
+   50k landmarks x 131k observations, matrix-free PCG Schur; LM iters/s
+   (median of 3 salted reps).
+4. **Accuracy error budget** (cheap subset): ATE with loop closing off
    (drift floor) and on a noise-0 render (intrinsic accuracy without the
    injected sensor noise).  The full stride/noise sweep is `--error-budget`.
-4. **Global BA kernel scale** (config 4 kernel number): 256 keyframes x
-   50k landmarks x 131k observations, matrix-free PCG Schur; LM iters/s.
-5. **Tracked-map global BA** (BASELINE config 4 on ENGINE-BUILT state):
+5. **Per-stage ms + utilization** (feature / track / local BA) on
+   production shapes, scan-diff measured.
+6. **Tracked-map global BA** (BASELINE config 4 on ENGINE-BUILT state):
    a 400-frame survey drives the engine to a large map; global BA runs on
    THAT map.  Reports LM iters/s + ATE before/after.
 
