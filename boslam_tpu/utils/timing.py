@@ -158,32 +158,41 @@ def _fused_step_cost(slam, gray_u8, d16):
     return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
 
 
-def _scan_diff_ms(fn, scan_len: int = 16, reps: int = 7) -> float:
-    """ms per call of ``fn(eps)`` measured as a scan chain with full-sum
-    data dependence, salted input, value-read sync, and N-vs-2N length
-    differencing — the repo's remote-tunnel timing rules (a plain
+def _scan_diff_ms(fn, captures, scan_len: int = 16, reps: int = 7) -> float:
+    """ms per call of ``fn(eps, captures)`` measured as a scan chain with
+    full-sum data dependence, salted input, value-read sync, and N-vs-2N
+    length differencing — the repo's remote-tunnel timing rules (a plain
     block_until_ready loop bills a share of the ~25 ms RTT to every call
-    and inflated r4/r5 stage numbers ~4x)."""
+    and inflated r4/r5 stage numbers ~4x).
+
+    ``captures`` (a pytree of arrays the stage reads: images, map state,
+    ...) is passed as a jit ARGUMENT, not a closure: closed-over arrays
+    embed as HLO constants, which keys the compiled program on the STATE
+    VALUES — every bench run with a different warmup state recompiled all
+    six stage programs from scratch (measured 241 s, r5)."""
     import functools
 
-    def body(acc, _):
-        out = fn(acc * 1e-30)
-        acc = acc + sum(
-            jnp.sum(l.astype(jnp.float32))
-            for l in jax.tree_util.tree_leaves(out)
-        )
-        return acc, None
+    def body_of(caps):
+        def body(acc, _):
+            out = fn(acc * 1e-30, caps)
+            return acc + sum(
+                jnp.sum(l.astype(jnp.float32))
+                for l in jax.tree_util.tree_leaves(out)
+            ), None
+
+        return body
 
     walls = {}
     for length in (scan_len, 2 * scan_len):
         jl = jax.jit(functools.partial(
-            lambda salt, _l: jax.lax.scan(
-                body, salt * 1e-30, None, length=_l)[0], _l=length))
-        float(jl(np.float32(0)))  # compile + settle
+            lambda salt, caps, _l: jax.lax.scan(
+                body_of(caps), salt * 1e-30, None, length=_l)[0],
+            _l=length))
+        float(jl(np.float32(0), captures))  # compile + settle
         ts = []
         for i in range(reps):
             t0 = time.perf_counter()
-            float(jl(np.float32(length * 131 + i + 1)))
+            float(jl(np.float32(length * 131 + i + 1), captures))
             ts.append((time.perf_counter() - t0) * 1e3)
         walls[length] = float(np.median(ts))
     return (walls[2 * scan_len] - walls[scan_len]) / scan_len
@@ -216,26 +225,29 @@ def stage_timings(slam, gray: np.ndarray, depth: np.ndarray,
 
     stages = {
         "feature": (
-            lambda eps: extract_features(g + eps, d, cfg),
+            lambda eps, c: extract_features(c[0] + eps, c[1], cfg),
+            (g, d),
             (extract_features, (g, d, cfg)),
         ),
         "track": (
-            lambda eps: track_frame(
-                cfg, ms_, tr_._replace(pose_cw=tr_.pose_cw + eps), feats
+            lambda eps, c: track_frame(
+                cfg, c[0], c[1]._replace(pose_cw=c[1].pose_cw + eps), c[2]
             ),
+            (ms_, tr_, feats),
             (track_frame, (cfg, ms_, tr_, feats)),
         ),
         "local_ba": (
-            lambda eps: local_bundle_adjustment(
-                cfg, ms_._replace(kf_pose=ms_.kf_pose + eps), center
+            lambda eps, c: local_bundle_adjustment(
+                cfg, c[0]._replace(kf_pose=c[0].kf_pose + eps), c[1]
             ),
+            (ms_, center),
             (local_bundle_adjustment, (cfg, ms_, center)),
         ),
     }
     peaks = device_peaks()
     out = {}
-    for name, (run, (jitted, args)) in stages.items():
-        ms = _scan_diff_ms(run, reps=repeats)
+    for name, (run, captures, (jitted, args)) in stages.items():
+        ms = _scan_diff_ms(run, captures, reps=repeats)
         out[f"{name}_ms"] = ms
         cost = _cost_analysis(jitted, *args)
         if cost is not None and peaks is not None and ms > 0:
