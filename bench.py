@@ -76,7 +76,7 @@ BATCH = 16           # feed_batch size (offline-throughput mode)
 # at the call site.
 PHASE_EST = {
     "device_path": (25.0, 25.0),
-    "global_ba_50k": (25.0, 40.0),
+    "global_ba_50k": (50.0, 40.0),  # 3 salted reps + problem gen measured 102-107s warm
     "stages": (25.0, 60.0),  # 6 scan programs (2 lengths x 3 stages)
     "tracked_ba": (120.0, 60.0),
 }

@@ -83,11 +83,26 @@ def test_phase_estimates_track_recorded_driver_times():
 
         pytest.skip("no driver capture with phase_times yet")
     name, parsed = recs[-1]
-    cal = max(
-        parsed.get("warmup_first_frame_s", _WARM_FIRST_CALL_S)
-        / _WARM_FIRST_CALL_S,
-        0.5,
-    )
+    # Mirror the harness's calibration: median AOT-job ratio, falling back
+    # to the first-frame ratio (a first-frame tunnel stall must not make
+    # this test predict estimates the harness never used).
+    from bench import _AOT_WARM_REF_S
+
+    ratios = [
+        parsed[f"warmup_aot_{k}_s"] / ref
+        for k, ref in _AOT_WARM_REF_S.items()
+        if parsed.get(f"warmup_aot_{k}_s", -1) > 0
+    ]
+    if ratios:
+        ratios.sort()
+        mid = len(ratios) // 2
+        med = (ratios[mid] if len(ratios) % 2 else
+               0.5 * (ratios[mid - 1] + ratios[mid]))
+    else:
+        med = parsed.get(
+            "warmup_first_frame_s", _WARM_FIRST_CALL_S
+        ) / _WARM_FIRST_CALL_S
+    cal = min(max(med, 0.5), 30.0)
     for phase, t in parsed["phase_times"].items():
         if phase not in PHASE_EST or t <= 0:
             continue
