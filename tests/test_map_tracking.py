@@ -467,3 +467,54 @@ def test_multi_candidate_relocalization_survives_alias():
     )
     _, good1, _ = relocalize(cfg1, st, ls, track, f_q, jax.random.key(1))
     assert not bool(good1), "alias candidate unexpectedly relocalized"
+
+
+def test_evict_for_slot_invariants():
+    """Capacity-saturation eviction (SURVEY §7.2): no-op while a slot is
+    free; on a full pool evicts a non-root, non-latest keyframe, records a
+    valid cull-chain row, and re-homes spanning children."""
+    import dataclasses
+
+    from boslam_tpu.config import MapConfig
+
+    cfg = SlamConfig(
+        camera=CAM, orb=OrbConfig(n_features=256, n_levels=4),
+        map=MapConfig(max_keyframes=6, max_points=4096),
+    )
+    st = empty_map(cfg)
+    mp, ok = no_match(cfg.orb.n_features)
+    # Fill all 6 slots from slightly different viewpoints.
+    for i in range(6):
+        pose = np.array([1.0, 0, 0, 0, 0.05 * i, 0, 0], np.float32)
+        rgb, depth = synthetic.render_frame(cfg.camera, pose)
+        f = extract_features(
+            jnp.asarray(rgb_to_gray(rgb)), jnp.asarray(depth), cfg
+        )
+        st, _ = map_ops.insert_keyframe(
+            cfg, st, f, se3.pose_inv(jnp.asarray(pose)), mp, ok, i
+        )
+    st = recompute_covis(st)
+    assert bool(jnp.all(st.kf_valid))
+
+    st2, info = map_ops.evict_for_slot(cfg, st)
+    info = np.asarray(info)
+    victim = int(info[0])
+    assert victim >= 0, "full pool must evict"
+    assert victim != 0, "root (gauge anchor) must never be evicted"
+    latest = int(jnp.argmax(jnp.where(st.kf_valid, st.kf_seq, -1)))
+    assert victim != latest, "latest keyframe must never be evicted"
+    assert not bool(st2.kf_valid[victim])
+    assert int(jnp.sum(st2.kf_valid)) == 5
+    # Cull-chain record names a live parent (re-anchor target).
+    parent = int(info[2])
+    assert bool(st2.kf_valid[parent])
+    # No spanning child still points at the vacated slot.
+    sp = np.asarray(st2.spanning_parent)
+    assert not any(
+        sp[i] == victim for i in range(6) if bool(st2.kf_valid[i])
+    )
+
+    # A pool with a free slot must be a strict no-op.
+    st3, info3 = map_ops.evict_for_slot(cfg, st2)
+    assert int(np.asarray(info3)[0]) == -1
+    assert int(jnp.sum(st3.kf_valid)) == 5
